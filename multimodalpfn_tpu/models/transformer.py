@@ -1,0 +1,261 @@
+"""PerFeatureTransformer: the dual-axis in-context transformer, as a pure function.
+
+Reference semantics: `mmpfn/models/mmpfn/model/transformer.py:182-1039` and
+`layer.py:95-466`. TPU-first re-design decisions:
+
+  * pure function of (params, inputs); layers stacked and run under ``lax.scan``;
+  * attention via `ops.attention` ('...'-batched einsums, no data movement between
+    the feature-axis and item-axis sublayers beyond one transpose);
+  * feature positional embeddings come from a precomputed torch-parity noise table
+    (see `models.params.make_subspace_noise_table`) instead of per-forward RNG;
+  * the reference's dead O(f²·s) correlation loop (`transformer.py:810-813`) is not
+    ported;
+  * ensemble members ride the leading batch axis (the reference loops them).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from multimodalpfn_tpu.models.config import ModelConfig
+from multimodalpfn_tpu.models.encoders import encode_x, encode_y
+from multimodalpfn_tpu.models.mixers import apply_mixer
+from multimodalpfn_tpu.models.params import get_subspace_noise
+from multimodalpfn_tpu.ops.attention import item_attention, self_attention
+
+
+def _layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Affine-free LayerNorm in fp32 (reference `layer.py:236-246`,
+    elementwise_affine=False, eps=1e-5)."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _mlp(x: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """Bias-free 2-layer GELU MLP (reference `mlp.py:59-104`, exact erf gelu)."""
+    h = jnp.einsum(
+        "...e,eh->...h",
+        x.astype(compute_dtype),
+        w1.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    h = jax.nn.gelu(h, approximate=False)
+    return jnp.einsum(
+        "...h,he->...e",
+        h.astype(compute_dtype),
+        w2.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def encoder_layer(
+    state: jnp.ndarray,
+    layer_params: dict,
+    *,
+    single_eval_pos: int,
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """One PerFeatureEncoderLayer (reference `layer.py:272-457`): post-norm
+    [feature-attn, item-attn, MLP], each with residual.
+
+    state: ``(b, s, t, e)`` where t = feature tokens + 1 target token.
+    """
+    cd = jnp.dtype(cfg.compute_dtype)
+    # --- attention between feature tokens (within each sample) ---
+    h = self_attention(
+        state,
+        layer_params["attn_feat"]["w_qkv"],
+        layer_params["attn_feat"]["w_out"],
+        compute_dtype=cd,
+    )
+    state = _layer_norm(state + h)
+    # --- attention between items (per feature token) ---
+    st = jnp.swapaxes(state, 1, 2)  # (b, t, s, e)
+    h = item_attention(
+        st,
+        layer_params["attn_item"]["w_qkv"],
+        layer_params["attn_item"]["w_out"],
+        single_eval_pos=single_eval_pos,
+        multiquery_test=cfg.multiquery_item_attention_for_test_set,
+        compute_dtype=cd,
+    )
+    state = _layer_norm(state + jnp.swapaxes(h, 1, 2))
+    # --- MLP ---
+    h = _mlp(state, layer_params["mlp"]["w1"], layer_params["mlp"]["w2"], cd)
+    return _layer_norm(state + h)
+
+
+def _group_features(x: jnp.ndarray, fpg: int) -> jnp.ndarray:
+    """Pad F to a multiple of features_per_group and group
+    (reference `transformer.py:626-657`). (b, s, F) -> (b, s, f, n)."""
+    b, s, F = x.shape
+    pad = (-F) % fpg
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((b, s, pad), dtype=x.dtype)], axis=-1)
+    return x.reshape(b, s, (F + pad) // fpg, fpg)
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    x: jnp.ndarray | None,
+    y_train: jnp.ndarray,
+    image: jnp.ndarray | None = None,
+    *,
+    single_eval_pos: int,
+    train: bool = False,
+    rng: jax.Array | None = None,
+    remat: bool = False,
+    return_embeddings: bool = False,
+) -> jnp.ndarray | dict[str, Any]:
+    """Forward pass.
+
+    Args:
+      x: tabular features ``(b, S, F)`` float32 (NaN/inf allowed), or None for
+        image-only mode (reference `transformer.py:765-766`).
+      y_train: train targets ``(b, sep)`` float32.
+      image: frozen-encoder embeddings ``(b, S, N_img, in_dim)`` or None.
+      single_eval_pos: static train/test split position.
+
+    Returns logits ``(b, S - sep, n_out)`` (or a dict with embeddings).
+    """
+    # fp32 parity mode must defeat the TPU default (bf16-input matmul passes);
+    # bf16 production mode keeps the fast default. Trace-time context, so it
+    # composes with jit.
+    prec = "highest" if cfg.compute_dtype == "float32" else "default"
+    with jax.default_matmul_precision(prec):
+        return _forward_impl(
+            params,
+            cfg,
+            x,
+            y_train,
+            image,
+            single_eval_pos=single_eval_pos,
+            train=train,
+            rng=rng,
+            remat=remat,
+            return_embeddings=return_embeddings,
+        )
+
+
+def _forward_impl(
+    params: dict,
+    cfg: ModelConfig,
+    x: jnp.ndarray | None,
+    y_train: jnp.ndarray,
+    image: jnp.ndarray | None = None,
+    *,
+    single_eval_pos: int,
+    train: bool = False,
+    rng: jax.Array | None = None,
+    remat: bool = False,
+    return_embeddings: bool = False,
+) -> jnp.ndarray | dict[str, Any]:
+    sep = single_eval_pos
+    if x is not None:
+        b, S = x.shape[0], x.shape[1]
+    else:
+        b, S = image.shape[0], image.shape[1]
+
+    # ---- target tokens: pad test region with NaN then encode (transformer.py:682-724)
+    y_full = jnp.concatenate(
+        [
+            y_train.astype(jnp.float32),
+            jnp.full((b, S - sep), jnp.nan, dtype=jnp.float32),
+        ],
+        axis=1,
+    )
+    embedded_y = encode_y(params["y_encoder"], cfg, y_full, sep)  # (b, S, e)
+
+    # ---- feature tokens
+    if x is not None:
+        xg = _group_features(x.astype(jnp.float32), cfg.features_per_group)
+        embedded_x = encode_x(params["encoder"], cfg, xg, sep)  # (b, S, f, e)
+    else:
+        embedded_x = None
+
+    # ---- multimodal mixer tokens appended on the feature axis (transformer.py:755-768)
+    if image is not None:
+        mixer_rng = None
+        if train and rng is not None:
+            rng, mixer_rng = jax.random.split(rng)
+        tokens = apply_mixer(
+            params["mixer"], cfg.mixer, image.astype(jnp.float32),
+            rng=mixer_rng, train=train,
+        )
+        embedded_x = (
+            tokens
+            if embedded_x is None
+            else jnp.concatenate([embedded_x, tokens], axis=-2)
+        )
+
+    # ---- feature positional embedding ("subspace", transformer.py:925-933)
+    if cfg.feature_positional_embedding == "subspace":
+        f_total = embedded_x.shape[-2]
+        noise = jnp.asarray(
+            get_subspace_noise(cfg.model_seed, f_total, cfg.emsize // 4)
+        )
+        embs = noise @ params["feat_pos_emb"]["w"] + params["feat_pos_emb"]["b"]
+        embedded_x = embedded_x + embs[None, None]
+
+    state = jnp.concatenate([embedded_x, embedded_y[:, :, None, :]], axis=2)
+    state = state.astype(jnp.dtype(cfg.compute_dtype))
+
+    # ---- encoder stack under scan (stacked layer params)
+    layer_fn = partial(encoder_layer, single_eval_pos=sep, cfg=cfg)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
+    def body(carry, lp):
+        return layer_fn(carry, lp), None
+
+    state, _ = jax.lax.scan(body, state, params["layers"])
+
+    # ---- decode target tokens of test rows (transformer.py:849-864)
+    test_targets = state[:, sep:, -1, :].astype(jnp.float32)
+    dec = params["decoder"]
+    hidden = jax.nn.gelu(test_targets @ dec["w1"] + dec["b1"], approximate=False)
+    logits = hidden @ dec["w2"] + dec["b2"]
+
+    if return_embeddings:
+        return {
+            "standard": logits,
+            "train_embeddings": state[:, :sep, -1, :].astype(jnp.float32),
+            "test_embeddings": test_targets,
+        }
+    return logits
+
+
+def forward_train_test(
+    params: dict,
+    cfg: ModelConfig,
+    train_x: jnp.ndarray | None,
+    train_y: jnp.ndarray,
+    test_x: jnp.ndarray | None,
+    train_image: jnp.ndarray | None = None,
+    test_image: jnp.ndarray | None = None,
+    **kw,
+):
+    """Kwargs-style calling convention used by fine-tuning
+    (reference `transformer.py:518-530`)."""
+    x = None
+    if train_x is not None:
+        x = jnp.concatenate([train_x, test_x], axis=1)
+    image = None
+    if train_image is not None and test_image is not None:
+        image = jnp.concatenate([train_image, test_image], axis=1)
+    return forward(
+        params,
+        cfg,
+        x,
+        train_y,
+        image,
+        single_eval_pos=train_y.shape[1],
+        **kw,
+    )
