@@ -1,0 +1,125 @@
+"""Model initialization + precision policy for the estimators.
+
+Reference semantics: `mmpfn/models/mmpfn/base.py:59-257` and `utils.py:98-190`.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Literal
+
+import jax
+import numpy as np
+
+from multimodalpfn_tpu.models.config import MixerConfig, ModelConfig
+from multimodalpfn_tpu.models.loading import LoadedModel, load_model
+from multimodalpfn_tpu.models.params import init_params
+
+_DEFAULT_CLF_CKPT = "tabpfn-v2-classifier.ckpt"
+_DEFAULT_REG_CKPT = "tabpfn-v2-regressor.ckpt"
+
+
+def _cache_dir() -> Path:
+    env = os.environ.get("TABPFN_MODEL_CACHE_DIR")
+    if env:
+        return Path(env)
+    return Path.home() / ".cache" / "multimodalpfn_tpu"
+
+
+def default_model_config(which: Literal["classifier", "regressor"]) -> dict:
+    """The published TabPFN-v2 architecture (reference `model/config.py:25-84`,
+    `loading.py:492-495`)."""
+    return {
+        "emsize": 192,
+        "nhead": 6,
+        "nhid_factor": 4,
+        "nlayers": 12,
+        "features_per_group": 1,
+        "max_num_classes": 10 if which == "classifier" else 0,
+        "num_buckets": 1000 if which == "classifier" else 5000,
+        "seq_len": 2000,
+        "max_num_features": 85,
+        "remove_duplicate_features": False,
+    }
+
+
+def initialize_model(
+    *,
+    model_path: str | Path | Literal["auto"],
+    which: Literal["classifier", "regressor"],
+    static_seed: int,
+    mixer_type: str,
+    mgm_heads: int,
+    cap_heads: int,
+    features_per_group: int | None,
+) -> LoadedModel:
+    """Load (or synthesize) the model.
+
+    - ``"auto"``: look for the published checkpoint in the model cache dir
+      (downloads are environment-gated; see models/loading.py registry).
+    - an existing path: reference-format torch checkpoint.
+    - ``"random"`` / ``"random:<seed>"``: fresh random initialization with the
+      published architecture — for benchmarking/testing without weights.
+    """
+    mixer = MixerConfig(
+        mixer_type=mixer_type, mgm_heads=mgm_heads, cap_heads=cap_heads
+    )
+
+    if isinstance(model_path, str) and model_path.startswith("random"):
+        seed = int(model_path.split(":", 1)[1]) if ":" in model_path else static_seed
+        ckpt_cfg = default_model_config(which)
+        n_out = None
+        borders = None
+        if which == "regressor":
+            n_out = ckpt_cfg["num_buckets"]
+            borders = np.linspace(-12.0, 12.0, n_out + 1)
+        cfg = ModelConfig.from_ckpt_config(
+            ckpt_cfg,
+            features_per_group=features_per_group,
+            mixer=mixer,
+            n_out=n_out,
+            model_seed=seed,
+        )
+        params = init_params(jax.random.PRNGKey(seed), cfg, model_seed=seed)
+        return LoadedModel(
+            params=params, config=cfg, ckpt_config=ckpt_cfg, criterion_borders=borders
+        )
+
+    if model_path == "auto":
+        name = _DEFAULT_CLF_CKPT if which == "classifier" else _DEFAULT_REG_CKPT
+        candidate = _cache_dir() / name
+        if not candidate.exists():
+            raise FileNotFoundError(
+                f"No checkpoint at {candidate}. Place the published {name} there "
+                f"(set TABPFN_MODEL_CACHE_DIR to override), pass model_path=..., or "
+                f"use model_path='random:<seed>' for an untrained model."
+            )
+        model_path = candidate
+
+    return load_model(
+        model_path,
+        model_seed=static_seed,
+        mixer_type=mixer_type,
+        mgm_heads=mgm_heads,
+        cap_heads=cap_heads,
+        features_per_group=features_per_group,
+    )
+
+
+def determine_precision(
+    inference_precision, default_device=None
+) -> tuple[bool, str | None]:
+    """Map the user precision knob to (autocast, forced_dtype)
+    (reference `base.py:126-165`, `utils.py:150-190`): "auto" enables bf16 compute
+    on TPU-class accelerators and fp32 on CPU; an explicit dtype forces it."""
+    if inference_precision == "autocast":
+        return True, None
+    if inference_precision == "auto":
+        platform = jax.devices()[0].platform
+        return platform not in ("cpu",), None
+    if inference_precision in ("float32", np.float32, "f32"):
+        return False, "float32"
+    if inference_precision in ("bfloat16", "bf16"):
+        return True, "bfloat16"
+    raise ValueError(f"Invalid inference_precision: {inference_precision}")

@@ -1,0 +1,284 @@
+"""Inference engines: how fit/predict caches work and how members execute.
+
+Reference semantics: `mmpfn/models/mmpfn/inference.py:27-513` (OnDemand /
+CachePreprocessing / CacheKV). TPU-first redesign: instead of looping ensemble
+members through sequential forwards (`inference.py:294-349`), members whose
+preprocessed widths match are *stacked on the batch axis* and run as ONE compiled
+forward. Same numerics (the reference reseeds its positional-embedding RNG per
+forward, so same-width members see identical embeddings — see
+models/transformer.py), a fraction of the launch/compile overhead, and MXU-friendly
+batching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Literal, Sequence
+
+import jax
+import numpy as np
+
+from multimodalpfn_tpu.models.config import ModelConfig
+from multimodalpfn_tpu.models.transformer import forward
+from multimodalpfn_tpu.preprocess.ensemble import (
+    EnsembleConfig,
+    fit_preprocessing,
+)
+from multimodalpfn_tpu.utils.memory import split_batch_for_memory
+
+_forward_jit = jax.jit(
+    forward,
+    static_argnames=(
+        "cfg",
+        "single_eval_pos",
+        "train",
+        "remat",
+        "return_embeddings",
+    ),
+)
+
+
+@dataclass
+class _Member:
+    config: EnsembleConfig
+    preprocessor: Any  # SequentialFeatureTransformer | None (image-only)
+    X_train: np.ndarray | None
+    y_train: np.ndarray
+    cat_ix: list[int] | None
+
+
+def _group_and_run(
+    params: dict,
+    cfg: ModelConfig,
+    members: Sequence[_Member],
+    X_tests: Sequence[np.ndarray | None],
+    image_train: np.ndarray | None,
+    image_test: np.ndarray | None,
+    *,
+    autocast: bool,
+) -> list[np.ndarray]:
+    """Stack same-width members into batched forwards; return per-member logits."""
+    run_cfg = dataclasses.replace(
+        cfg, compute_dtype="bfloat16" if autocast else "float32"
+    )
+
+    image_full = None
+    if image_train is not None and image_test is not None:
+        image_full = np.concatenate(
+            [np.asarray(image_train), np.asarray(image_test)], axis=0
+        ).astype(np.float32)
+        if image_full.ndim == 3:  # (S, N, D) -> add member axis later
+            pass
+
+    # group member indices by (feature width, train length)
+    groups: dict[tuple, list[int]] = {}
+    for i, (m, Xt) in enumerate(zip(members, X_tests)):
+        width = -1 if Xt is None else Xt.shape[1]
+        groups.setdefault((width, len(m.y_train)), []).append(i)
+
+    outputs: list[np.ndarray | None] = [None] * len(members)
+    for (width, sep), idxs in groups.items():
+        ys = np.stack([members[i].y_train.astype(np.float32) for i in idxs])
+        if width >= 0:
+            xs = np.stack(
+                [
+                    np.concatenate(
+                        [members[i].X_train, X_tests[i]], axis=0, dtype=np.float32
+                    )
+                    for i in idxs
+                ]
+            )
+            total_len = xs.shape[1]
+        else:
+            xs = None
+            total_len = image_full.shape[0]
+        img = None
+        if image_full is not None:
+            img = np.broadcast_to(
+                image_full[None], (len(idxs), *image_full.shape)
+            )
+        for chunk in split_batch_for_memory(
+            len(idxs), run_cfg, seq_len=total_len,
+            n_feature_tokens=(0 if width < 0 else -(-width // cfg.features_per_group)),
+        ):
+            sl = slice(chunk.start, chunk.stop)
+            logits = _forward_jit(
+                params,
+                run_cfg,
+                None if xs is None else xs[sl],
+                ys[sl],
+                None if img is None else img[sl],
+                single_eval_pos=sep,
+            )
+            logits = np.asarray(jax.device_get(logits))
+            for j, i in enumerate(idxs[sl]):
+                outputs[i] = logits[j]
+    return outputs  # type: ignore[return-value]
+
+
+@dataclass
+class InferenceEngine:
+    """Base: holds the model params/config and fitted members."""
+
+    params: dict
+    cfg: ModelConfig
+    members: list[_Member]
+    image_train: np.ndarray | None
+    autocast: bool
+
+    def iter_outputs(
+        self, X: np.ndarray | None, image_test: np.ndarray | None
+    ) -> list[tuple[np.ndarray, EnsembleConfig]]:
+        raise NotImplementedError
+
+
+@dataclass
+class InferenceEngineCachePreprocessing(InferenceEngine):
+    """Fit-time: member pipelines fitted once; predict transforms the test rows and
+    runs batched forwards (reference `inference.py:204-351`, the only multimodal
+    engine there)."""
+
+    @classmethod
+    def prepare(
+        cls,
+        X_train,
+        y_train,
+        image_train,
+        *,
+        cat_ix,
+        params,
+        cfg,
+        ensemble_configs,
+        rng,
+        autocast: bool,
+    ) -> "InferenceEngineCachePreprocessing":
+        fitted = fit_preprocessing(
+            ensemble_configs, X_train, y_train, random_state=rng, cat_ix=cat_ix
+        )
+        members = [_Member(*row) for row in fitted]
+        return cls(
+            params=params,
+            cfg=cfg,
+            members=members,
+            image_train=image_train,
+            autocast=autocast,
+        )
+
+    def iter_outputs(self, X, image_test):
+        X_tests = [
+            None if m.X_train is None else m.preprocessor.transform(X).X
+            for m in self.members
+        ]
+        outs = _group_and_run(
+            self.params,
+            self.cfg,
+            self.members,
+            X_tests,
+            self.image_train,
+            image_test,
+            autocast=self.autocast,
+        )
+        return [(o, m.config) for o, m in zip(outs, self.members)]
+
+
+@dataclass
+class InferenceEngineOnDemand(InferenceEngine):
+    """Refit preprocessing on every predict (lowest memory,
+    reference `inference.py:79-201`)."""
+
+    X_train: np.ndarray | None = None
+    y_train: np.ndarray | None = None
+    ensemble_configs: Sequence[EnsembleConfig] = ()
+    cat_ix: list[int] | None = None
+    static_seed: int = 0
+
+    @classmethod
+    def prepare(
+        cls,
+        X_train,
+        y_train,
+        image_train,
+        *,
+        cat_ix,
+        params,
+        cfg,
+        ensemble_configs,
+        rng,
+        autocast: bool,
+    ) -> "InferenceEngineOnDemand":
+        static_seed = int(rng.integers(0, 2**31))
+        return cls(
+            params=params,
+            cfg=cfg,
+            members=[],
+            image_train=image_train,
+            autocast=autocast,
+            X_train=X_train,
+            y_train=y_train,
+            ensemble_configs=ensemble_configs,
+            cat_ix=cat_ix,
+            static_seed=static_seed,
+        )
+
+    def iter_outputs(self, X, image_test):
+        rng = np.random.default_rng(self.static_seed)
+        fitted = fit_preprocessing(
+            self.ensemble_configs,
+            self.X_train,
+            self.y_train,
+            random_state=rng,
+            cat_ix=self.cat_ix,
+        )
+        members = [_Member(*row) for row in fitted]
+        X_tests = [
+            None if m.X_train is None else m.preprocessor.transform(X).X
+            for m in members
+        ]
+        outs = _group_and_run(
+            self.params,
+            self.cfg,
+            members,
+            X_tests,
+            self.image_train,
+            image_test,
+            autocast=self.autocast,
+        )
+        return [(o, m.config) for o, m in zip(outs, members)]
+
+
+def create_inference_engine(
+    *,
+    X_train,
+    y_train,
+    image_train,
+    params,
+    cfg,
+    ensemble_configs,
+    cat_ix,
+    fit_mode: Literal["low_memory", "fit_preprocessors", "fit_with_cache"],
+    rng,
+    autocast: bool,
+) -> InferenceEngine:
+    """Reference `base.py:168-257` dispatch. ``fit_with_cache`` (KV-cache priming,
+    reference `inference.py:354-513`) currently maps to the cached-preprocessing
+    engine: on TPU the batched full-context forward is already compile-cached and
+    the KV savings are small at TabPFN scales; a functional KV-cache path is
+    planned (tracked in PARITY.md)."""
+    if fit_mode == "low_memory":
+        engine_cls = InferenceEngineOnDemand
+    elif fit_mode in ("fit_preprocessors", "fit_with_cache"):
+        engine_cls = InferenceEngineCachePreprocessing
+    else:
+        raise ValueError(f"Invalid fit_mode: {fit_mode}")
+    return engine_cls.prepare(
+        X_train,
+        y_train,
+        image_train,
+        cat_ix=cat_ix,
+        params=params,
+        cfg=cfg,
+        ensemble_configs=ensemble_configs,
+        rng=rng,
+        autocast=autocast,
+    )

@@ -74,7 +74,9 @@ def encoder_layer(
         layer_params["attn_feat"]["w_out"],
         compute_dtype=cd,
     )
-    state = _layer_norm(state + h)
+    # residuals/LN run in fp32 (einsum outputs are fp32-accumulated); cast back to
+    # the compute dtype so the scan carry dtype is stable in bf16 mode
+    state = _layer_norm(state + h).astype(cd)
     # --- attention between items (per feature token) ---
     st = jnp.swapaxes(state, 1, 2)  # (b, t, s, e)
     h = item_attention(
@@ -85,10 +87,10 @@ def encoder_layer(
         multiquery_test=cfg.multiquery_item_attention_for_test_set,
         compute_dtype=cd,
     )
-    state = _layer_norm(state + jnp.swapaxes(h, 1, 2))
+    state = _layer_norm(state + jnp.swapaxes(h, 1, 2)).astype(cd)
     # --- MLP ---
     h = _mlp(state, layer_params["mlp"]["w1"], layer_params["mlp"]["w2"], cd)
-    return _layer_norm(state + h)
+    return _layer_norm(state + h).astype(cd)
 
 
 def _group_features(x: jnp.ndarray, fpg: int) -> jnp.ndarray:
