@@ -36,33 +36,26 @@ def _dropout(x, rate, rng, deterministic):
 def mgm(params: dict, cfg: MixerConfig, x: jnp.ndarray, *, rng=None, train=False):
     """Multihead Gated MLP (`transformer.py:33-48`): per head
     LN -> Linear(in,in) -> GLU -> Dropout -> Linear(in/2, emsize); heads concatenate
-    on the token axis (head-major)."""
-
-    def one_head(ln_g, ln_b, w1, b1, w2, b2, key):
-        h = _layer_norm(x, ln_g, ln_b)
-        h = h @ w1 + b1
-        a, g = jnp.split(h, 2, axis=-1)
-        h = a * jax.nn.sigmoid(g)  # torch GLU(dim=-1)
-        h = _dropout(h, cfg.dropout, key, not train)
-        return h @ w2 + b2  # (b, s, N, emsize)
-
-    n_heads = params["ln_g"].shape[0]
-    keys = (
-        jax.random.split(rng, n_heads) if (train and rng is not None) else [None] * n_heads
+    on the token axis (head-major). Heads are batched into single einsums so a
+    256-head mixer is two MXU matmuls, not 256 modules."""
+    H = params["ln_g"].shape[0]
+    h = _layer_norm(x[..., None, :, :], params["ln_g"][:, None, :], params["ln_b"][:, None, :])
+    # h: (b, s, H, N, in); per-head first linear
+    h = (
+        jnp.einsum("...hni,hio->...hno", h, params["w1"],
+                   preferred_element_type=jnp.float32)
+        + params["b1"][:, None, :]
     )
-    outs = [
-        one_head(
-            params["ln_g"][i],
-            params["ln_b"][i],
-            params["w1"][i],
-            params["b1"][i],
-            params["w2"][i],
-            params["b2"][i],
-            keys[i],
-        )
-        for i in range(n_heads)
-    ]
-    return jnp.concatenate(outs, axis=-2)  # (b, s, H*N, emsize)
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(g)  # torch GLU(dim=-1)
+    h = _dropout(h, cfg.dropout, rng if train else None, not train)
+    out = (
+        jnp.einsum("...hni,hio->...hno", h, params["w2"],
+                   preferred_element_type=jnp.float32)
+        + params["b2"][:, None, :]
+    )
+    # (b, s, H, N, e) -> heads-major token concat (b, s, H*N, e)
+    return out.reshape(*out.shape[:-3], H * out.shape[-2], out.shape[-1])
 
 
 def orthogonality_loss(params_mgm: dict) -> jnp.ndarray:
@@ -131,31 +124,20 @@ def moe(params: dict, cfg: MixerConfig, image: jnp.ndarray, *, rng=None, train=F
         gate = gate * mask
         gate = gate / (gate.sum(axis=-1, keepdims=True) + 1e-9)
 
-    def one_expert(ln_g, ln_b, w1, b1, w2, b2, key):
-        h = _layer_norm(x, ln_g, ln_b)
-        h = jax.nn.gelu(h @ w1 + b1, approximate=False)
-        h = _dropout(h, 0.1, key, not train)
-        return h @ w2 + b2
-
-    keys = (
-        jax.random.split(rng, n_experts)
-        if (train and rng is not None)
-        else [None] * n_experts
+    # all experts batched into two einsums (the reference computes every expert
+    # densely anyway, `transformer.py:121-127` — no dispatch/all-to-all needed)
+    h = _layer_norm(x[..., None, :], params["ln_g"], params["ln_b"])  # (b,s,E,in)
+    h = (
+        jnp.einsum("...ei,eio->...eo", h, params["w1"],
+                   preferred_element_type=jnp.float32)
+        + params["b1"]
     )
-    outs = jnp.stack(
-        [
-            one_expert(
-                params["ln_g"][i],
-                params["ln_b"][i],
-                params["w1"][i],
-                params["b1"][i],
-                params["w2"][i],
-                params["b2"][i],
-                keys[i],
-            )
-            for i in range(n_experts)
-        ],
-        axis=-2,
+    h = jax.nn.gelu(h, approximate=False)
+    h = _dropout(h, 0.1, rng if train else None, not train)
+    outs = (
+        jnp.einsum("...ei,eio->...eo", h, params["w2"],
+                   preferred_element_type=jnp.float32)
+        + params["b2"]
     )  # (b, s, E, emsize)
     return outs * gate[..., None]
 

@@ -1,0 +1,94 @@
+"""Device mesh construction and sharding rules.
+
+The reference's only multi-device story is independent shell processes per GPU
+(`run0.sh`/`run1.sh`) plus vendored-but-unused NCCL init
+(`models/dino_v2/distributed/__init__.py:239-270`). Here distribution is
+first-class: one `jax.sharding.Mesh` with axes
+
+  * ``dp`` — data parallel over episodes / ensemble members / HPO trials
+    (gradients psum over dp, inserted by GSPMD);
+  * ``mp`` — tensor parallel over attention heads and MLP hidden units, and
+    expert-parallel over MoE experts.
+
+Collectives ride ICI within a slice; for multi-slice topologies put ``dp`` on the
+DCN (outer) axis. Multi-host entry: `initialize_distributed()`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kwargs: Any) -> None:
+    """Multi-host init (`jax.distributed.initialize`); no-op if single-process."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):  # already initialized / single-process
+        pass
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    *,
+    mp: int = 1,
+    devices=None,
+    axis_names=("dp", "mp"),
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % mp == 0, f"mp={mp} must divide device count {n}"
+    arr = np.array(devices).reshape(n // mp, mp)
+    return Mesh(arr, axis_names)
+
+
+def _mp_divides(mesh: Mesh, dim: int) -> bool:
+    return dim % mesh.shape["mp"] == 0
+
+
+def param_shardings(params: dict, mesh: Mesh) -> dict:
+    """Tensor/expert-parallel layout for the PerFeatureTransformer param tree.
+
+    Attention heads shard over ``mp`` (w_qkv (L,3,h,d,e) / w_out (L,h,d,e) on the
+    h axis), MLP hidden over ``mp`` (w1 (L,e,H) axis 2; w2 (L,H,e) axis 1), MoE
+    experts over ``mp``; everything else replicated (at 50M params the weights fit
+    on-chip; mp exists for scaling the FLOPs, not the memory).
+    """
+
+    def rule(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        spec = P()
+        if "layers" in names:
+            if "w_qkv" in names and _mp_divides(mesh, leaf.shape[2]):
+                spec = P(None, None, "mp", None, None)
+            elif "w_out" in names and _mp_divides(mesh, leaf.shape[1]):
+                spec = P(None, "mp", None, None)
+            elif "w1" in names and _mp_divides(mesh, leaf.shape[2]):
+                spec = P(None, None, "mp")
+            elif "w2" in names and _mp_divides(mesh, leaf.shape[1]):
+                spec = P(None, "mp", None)
+        elif "moe" in names and leaf.ndim >= 1 and _mp_divides(mesh, leaf.shape[0]):
+            spec = P("mp")
+        elif "mgm" in names and leaf.ndim >= 1 and _mp_divides(mesh, leaf.shape[0]):
+            spec = P("mp")
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def batch_shardings(batch: dict, mesh: Mesh) -> dict:
+    """Episodes/members/trials shard over dp on the leading axis."""
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, P("dp", *([None] * (np.ndim(leaf) - 1)))),
+        batch,
+    )
+
+
+def replicated(tree, mesh: Mesh):
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)

@@ -1,0 +1,269 @@
+"""Episode fine-tuning harness.
+
+API/semantics anchor: reference `scripts_finetune_mm/finetune_mmpfn_main.py:78-486`
+(`fine_tune_mmpfn`): load base ckpt, optionally freeze input encoders, 80/20
+stratified validation split, save initial snapshot, then up to ``max_steps``
+steps of one-K-fold-episode-per-step training with clipped schedule-free AdamW,
+validating each ``validate_every_n_steps`` and keeping the best-by-validation
+snapshot.
+
+TPU-first differences:
+  * the whole step (forward+loss+grad+update) is ONE jitted function, reused for
+    every episode (constant shapes by construction — see train/data.py);
+  * no GradScaler: bf16 forward with fp32 params/optimizer needs no loss scaling;
+  * episodes can batch on a leading axis (dp-shardable);
+  * validation runs through the same compiled forward with schedule-free eval
+    params; snapshots are saved both orbax-native and reference-torch-format.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalpfn_tpu.estimator.base import initialize_model
+from multimodalpfn_tpu.models.loading import save_model, save_native
+from multimodalpfn_tpu.models.transformer import forward_train_test
+from multimodalpfn_tpu.train.data import EpisodeSampler
+from multimodalpfn_tpu.train.early_stopping import AdaptiveES
+from multimodalpfn_tpu.train.losses import get_loss_fn
+from multimodalpfn_tpu.train.metrics import get_scorer
+from multimodalpfn_tpu.train.step import (
+    TrainState,
+    eval_params,
+    frozen_input_mask,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+CLASSIFICATION_TASKS = ("multiclass", "multiclass_classification", "binary", "binary_classification")
+
+
+def _canon_task(task_type: str) -> str:
+    t = task_type.lower()
+    if t in ("multiclass", "multiclass_classification"):
+        return "multiclass"
+    if t in ("binary", "binary_classification"):
+        return "binary"
+    if t == "regression":
+        return "regression"
+    raise ValueError(f"Unknown task_type {task_type}")
+
+
+def create_val_data(*, X, image, y, rng, is_classification):
+    """Size-dependent validation split (reference `validation_utils.py:17-88`)."""
+    from sklearn.model_selection import train_test_split
+
+    n = len(y)
+    test_size = 0.2 if n < 500_000 else (0.1 if n < 1_000_000 else 0.05)
+    arrays = [a for a in (X, image) if a is not None]
+    out = train_test_split(
+        *arrays,
+        y,
+        test_size=test_size,
+        random_state=rng,
+        stratify=y if is_classification else None,
+    )
+    it = iter(out)
+    X_tr = X_va = im_tr = im_va = None
+    if X is not None:
+        X_tr, X_va = next(it), next(it)
+    if image is not None:
+        im_tr, im_va = next(it), next(it)
+    y_tr, y_va = next(it), next(it)
+    return X_tr, X_va, im_tr, im_va, y_tr, y_va
+
+
+def fine_tune_mmpfn(
+    *,
+    mixer_type: str,
+    mgm_heads: int,
+    cap_heads: int,
+    features_per_group: int,
+    save_path_to_fine_tuned_model: str | Path,
+    path_to_base_model: str | Path = "auto",
+    time_limit: int = 3600,
+    finetuning_config: dict[str, Any] | None = None,
+    validation_metric: str = "log_loss",
+    categorical_features_index=None,  # accepted for API parity; encoders are on-device
+    task_type: str = "multiclass",
+    device: str | None = None,  # accepted for API parity; device comes from JAX
+    y_train: np.ndarray = None,
+    X_train: np.ndarray | None = None,
+    image_train: np.ndarray | None = None,
+    X_val: np.ndarray | None = None,
+    y_val: np.ndarray | None = None,
+    image_val: np.ndarray | None = None,
+    random_seed: int = 42,
+    logger_level: int = 20,
+    freeze_input: bool = False,
+    episode_batch_size: int = 1,
+    use_early_stopping: bool = False,
+    compute_dtype: str | None = None,
+) -> dict[str, Any]:
+    """Fine-tune and save best-by-validation snapshots. Returns a history dict."""
+    logger.setLevel(logger_level)
+    st_time = time.time()
+    task = _canon_task(task_type)
+    is_classification = task != "regression"
+    cfg_hp = {
+        "learning_rate": 1e-5,
+        "max_steps": 100,
+        "validate_every_n_steps": 1,
+        "optimizer": "schedule_free_adamw",
+        "adaptive_rate": 0.2,
+        "adaptive_offset": 5,
+        "min_patience": 50,
+        "max_patience": 100,
+        **(finetuning_config or {}),
+    }
+
+    loaded = initialize_model(
+        model_path=path_to_base_model,
+        which="classifier" if is_classification else "regressor",
+        static_seed=random_seed,
+        mixer_type=mixer_type if image_train is not None else "none",
+        mgm_heads=mgm_heads,
+        cap_heads=cap_heads,
+        features_per_group=features_per_group,
+    )
+    cfg = loaded.config
+    if compute_dtype is None:
+        compute_dtype = (
+            "bfloat16" if jax.devices()[0].platform not in ("cpu",) else "float32"
+        )
+    cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    params = loaded.params
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    logger.info("fine-tuning %s params", f"{n_params:,}")
+
+    # ---- validation split (unless provided)
+    rng = np.random.RandomState(random_seed)
+    if X_val is None and y_val is None:
+        X_train, X_val, image_train, image_val, y_train, y_val = create_val_data(
+            X=X_train, image=image_train, y=y_train, rng=rng,
+            is_classification=is_classification,
+        )
+    y_train = np.asarray(y_train, dtype=np.float32)
+    y_val = np.asarray(y_val, dtype=np.float32)
+
+    # ---- losses / metrics
+    borders = None
+    if task == "regression":
+        borders = jnp.asarray(np.asarray(loaded.criterion_borders, dtype=np.float32))
+    loss_fn = get_loss_fn(task, borders)
+    scorer = get_scorer(validation_metric)
+
+    # ---- optimizer + step
+    mask = frozen_input_mask(params, freeze_input)
+    tx = make_optimizer(
+        cfg_hp["learning_rate"], optimizer=cfg_hp["optimizer"], freeze_mask=mask
+    )
+    state = init_train_state(params, tx)
+    train_step = make_train_step(cfg, loss_fn, tx, remat=True)
+    is_sf = cfg_hp["optimizer"] == "schedule_free_adamw"
+
+    # ---- compiled validation forward (context = train rows, queries = val rows)
+    @jax.jit
+    def val_forward(p):
+        return forward_train_test(
+            p,
+            cfg,
+            None if X_train is None else jnp.asarray(X_train, jnp.float32)[None],
+            jnp.asarray(y_train)[None],
+            None if X_val is None else jnp.asarray(X_val, jnp.float32)[None],
+            None if image_train is None else jnp.asarray(image_train, jnp.float32)[None],
+            None if image_val is None else jnp.asarray(image_val, jnp.float32)[None],
+        )
+
+    def validate(p) -> float:
+        logits = np.asarray(val_forward(p))[0]
+        if task == "regression":
+            from multimodalpfn_tpu.models.bar_distribution import (
+                FullSupportBarDistribution,
+            )
+
+            y_pred = np.asarray(
+                FullSupportBarDistribution(borders).mean(jnp.asarray(logits))
+            )
+        else:
+            z = logits - logits.max(axis=-1, keepdims=True)
+            y_pred = np.exp(z) / np.exp(z).sum(axis=-1, keepdims=True)
+            n_classes = int(y_train.max()) + 1
+            y_pred = y_pred[:, :n_classes]
+            y_pred = y_pred / y_pred.sum(axis=-1, keepdims=True)
+        score = scorer(y_val, y_pred)
+        return scorer.convert_score_to_error(score)
+
+    save_path = Path(save_path_to_fine_tuned_model)
+    save_path.parent.mkdir(parents=True, exist_ok=True)
+
+    def save_snapshot(p):
+        save_model(
+            save_path, p, cfg,
+            ckpt_config=loaded.ckpt_config,
+            criterion_borders=loaded.criterion_borders,
+        )
+
+    # ---- initial validation + snapshot (reference `finetune_mmpfn_main.py:321,352`)
+    best_err = validate(state.params)
+    save_snapshot(state.params)
+    logger.info("initial validation error: %.5f", best_err)
+
+    sampler = EpisodeSampler(
+        X=X_train, image=image_train, y=y_train, is_classification=is_classification
+    )
+    es = AdaptiveES(
+        adaptive_rate=cfg_hp["adaptive_rate"],
+        adaptive_offset=cfg_hp["adaptive_offset"],
+        min_patience=cfg_hp["min_patience"],
+        max_patience=cfg_hp["max_patience"],
+    )
+    history = {"train_loss": [], "val_error": [], "best_val_error": best_err, "steps": 0}
+    key = jax.random.PRNGKey(random_seed)
+
+    for step_i in range(1, int(cfg_hp["max_steps"]) + 1):
+        if time.time() - st_time > time_limit:
+            logger.info("time limit reached at step %d", step_i)
+            break
+        batch = sampler.sample(episode_batch_size)
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+        loss = float(jax.device_get(metrics["loss"]))
+        history["train_loss"].append(loss)
+        history["steps"] = step_i
+
+        if step_i % int(cfg_hp["validate_every_n_steps"]) == 0:
+            p_eval = eval_params(state, is_sf)
+            err = validate(p_eval)
+            history["val_error"].append((step_i, err))
+            is_best = err < best_err
+            if is_best:
+                best_err = err
+                history["best_val_error"] = err
+                save_snapshot(p_eval)
+            stop = es.update(cur_round=step_i, is_best=is_best)
+            if use_early_stopping and stop:
+                logger.info("early stopping at step %d", step_i)
+                break
+
+    # orbax-native snapshot of the final state alongside the torch-format best
+    save_native(
+        str(save_path) + ".orbax",
+        eval_params(state, is_sf),
+        cfg,
+        best_val_error=float(best_err),
+        steps=float(history["steps"]),
+    )
+    history["wall_s"] = time.time() - st_time
+    return history

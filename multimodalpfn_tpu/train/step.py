@@ -1,0 +1,126 @@
+"""Jitted fine-tuning step: loss + grad + clip + (schedule-free) AdamW.
+
+Reference semantics: `scripts_finetune_mm/finetune_mmpfn_main.py:589-708` —
+forward on a K-fold episode, loss on the test fold, clip global grad-norm to 1.0,
+AdamWScheduleFree step, optional frozen input encoders (`:204-206`). TPU-first:
+the whole step is one compiled function (no GradScaler — bf16 forward with fp32
+master weights makes loss scaling unnecessary), episodes ride a batch axis, and
+the step jits over an explicit device mesh (dp episodes × mp tensor-parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from multimodalpfn_tpu.models.config import ModelConfig
+from multimodalpfn_tpu.models.transformer import forward_train_test
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def frozen_input_mask(params: dict, freeze_input: bool) -> dict:
+    """True = trainable. The reference freezes `encoder` and `y_encoder`
+    (`finetune_mmpfn_main.py:204-206`)."""
+
+    def rule(path, _leaf):
+        if not freeze_input:
+            return True
+        top = getattr(path[0], "key", None)
+        return top not in ("encoder", "y_encoder")
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def make_optimizer(
+    learning_rate: float = 1e-5,
+    *,
+    max_grad_norm: float = 1.0,
+    optimizer: str = "schedule_free_adamw",
+    freeze_mask: dict | None = None,
+    warmup_steps: int = 0,
+) -> optax.GradientTransformation:
+    if optimizer == "schedule_free_adamw":
+        tx = optax.contrib.schedule_free_adamw(
+            learning_rate, warmup_steps=warmup_steps
+        )
+    elif optimizer == "adamw":
+        tx = optax.adamw(learning_rate)
+    else:
+        raise ValueError(f"Unknown optimizer: {optimizer}")
+    chain = [optax.clip_by_global_norm(max_grad_norm), tx]
+    tx = optax.chain(*chain)
+    if freeze_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "frozen", freeze_mask),
+        )
+    return tx
+
+
+def eval_params(state: TrainState, tx_is_schedule_free: bool = True):
+    """Schedule-free optimizers evaluate at the x-sequence, not the y-iterate
+    (reference uses AdamWScheduleFree's optimizer.eval() mode)."""
+    if not tx_is_schedule_free:
+        return state.params
+    try:
+        return optax.contrib.schedule_free_eval_params(state.opt_state, state.params)
+    except Exception:
+        return state.params
+
+
+def make_train_step(
+    cfg: ModelConfig,
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    *,
+    remat: bool = True,
+    donate: bool = True,
+):
+    """Build the jitted step: batch is a dict with
+    ``x_train (b,s_tr,F) | None``, ``y_train (b,s_tr)``, ``x_test (b,s_te,F) | None``,
+    ``y_test (b,s_te)``, optional ``image_train/image_test (b,s,N,D)``."""
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        def compute_loss(params):
+            logits = forward_train_test(
+                params,
+                cfg,
+                batch.get("x_train"),
+                batch["y_train"],
+                batch.get("x_test"),
+                batch.get("image_train"),
+                batch.get("image_test"),
+                train=True,
+                rng=rng,
+                remat=remat,
+            )
+            return loss_fn(logits, batch["y_test"])
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state, step=state.step + 1
+        )
+        return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )

@@ -1,0 +1,150 @@
+"""Measure the torch reference's fit+predict throughput on PAD-UFES-shaped data.
+
+Runs the reference MMPFNClassifier (from /root/reference, CPU torch — the only
+hardware available here) on the benchmark config and records test-samples/sec into
+bench_baseline.json. Because one full-scale CPU forward takes hours on this 1-core
+box, we measure at several subset sizes and fit t(S) = a + b*S + c*S^2 (the item
+attention is O(S^2), everything else O(S)) to extrapolate to the full 2298 rows;
+the raw measurements are recorded alongside for auditability.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, "/root/reference")
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from multimodalpfn_tpu.datasets.synthetic import pad_ufes_like  # noqa: E402
+
+BENCH_MGM, BENCH_CAP, BENCH_EST = 16, 8, 4
+
+
+def _shim_sklearn_compat() -> None:
+    """The reference targets sklearn<1.6 (`BaseEstimator._validate_data`); this
+    image ships sklearn 1.9 where it was removed. Give the reference estimators a
+    compatible method (maps force_all_finite -> ensure_all_finite)."""
+    from sklearn.base import BaseEstimator
+    from sklearn.utils.validation import validate_data
+
+    if hasattr(BaseEstimator, "_validate_data"):
+        return
+
+    def _validate_data(self, X="no_validation", y="no_validation", **kw):
+        kw.pop("estimator", None)
+        if "force_all_finite" in kw:
+            kw["ensure_all_finite"] = kw.pop("force_all_finite")
+        return validate_data(self, X, y, **kw)
+
+    BaseEstimator._validate_data = _validate_data
+
+
+def measure_subset(X, emb, y, n_rows: int) -> dict:
+    import torch
+
+    _shim_sklearn_compat()
+    torch.manual_seed(0)
+    from mmpfn.models.mmpfn.classifier import MMPFNClassifier
+    from mmpfn.models.mmpfn.model.loading import get_encoder, get_y_encoder
+    from mmpfn.models.mmpfn.model.transformer import PerFeatureTransformer
+
+    # The published ckpt isn't available in this environment: construct the same
+    # architecture with random weights and save it as a reference-format ckpt so
+    # the reference's own loader/estimator path runs unmodified.
+    enc = get_encoder(
+        num_features=1, embedding_size=192, remove_empty_features=True,
+        remove_duplicate_features=False, nan_handling_enabled=True,
+        normalize_on_train_only=True, normalize_to_ranking=False, normalize_x=True,
+        remove_outliers=False, normalize_by_used_features=True, encoder_use_bias=False,
+    )
+    yenc = get_y_encoder(
+        num_inputs=1, embedding_size=192, nan_handling_y_encoder=True, max_num_classes=10
+    )
+    model = PerFeatureTransformer(
+        seed=0, encoder=enc, y_encoder=yenc, nhead=6, ninp=192, nhid=768, nlayers=12,
+        features_per_group=1, cache_trainset_representation=True,
+        decoder_dict={"standard": (None, 10)}, feature_positional_embedding="subspace",
+        multiquery_item_attention=False, multiquery_item_attention_for_test_set=True,
+        attention_init_gain=1.0, two_sets_of_queries=False,
+        mixer_type="MGM+CAP", mgm_heads=BENCH_MGM, cap_heads=BENCH_CAP,
+    )
+    config = {
+        "emsize": 192, "nhead": 6, "nhid_factor": 4, "nlayers": 12,
+        "features_per_group": 1, "max_num_classes": 10, "num_buckets": 1000,
+        "seq_len": 2000, "max_num_features": 85, "remove_duplicate_features": False,
+        "batch_size": 8, "aggregate_k_gradients": 1, "task_type": "multiclass",
+        "adaptive_max_seq_len_to_max_full_table_size": 75000,
+        "two_sets_of_queries": False,
+    }
+    ckpt_path = "/tmp/ref_bench.ckpt"
+    torch.save({"state_dict": model.state_dict(), "config": config}, ckpt_path)
+
+    ntr = int(n_rows * 0.8)
+    Xs, embs, ys = X[:n_rows], emb[:n_rows], y[:n_rows]
+    clf = MMPFNClassifier(
+        mixer_type="MGM+CAP", mgm_heads=BENCH_MGM, cap_heads=BENCH_CAP,
+        features_per_group=1, n_estimators=BENCH_EST, model_path=ckpt_path,
+        device="cpu", random_state=0,
+    )
+    t0 = time.time()
+    clf.fit(Xs[:ntr], torch.from_numpy(embs[:ntr]), ys[:ntr])
+    fit_s = time.time() - t0
+    t0 = time.time()
+    proba = clf.predict_proba(Xs[ntr:], torch.from_numpy(embs[ntr:]))
+    predict_s = time.time() - t0
+    assert proba.shape[0] == n_rows - ntr
+    return {
+        "n_rows": n_rows,
+        "n_test": n_rows - ntr,
+        "fit_s": fit_s,
+        "predict_s": predict_s,
+        "total_s": fit_s + predict_s,
+    }
+
+
+def main():
+    X, emb, y = pad_ufes_like(seed=0)
+    sizes = [150, 300, 600]
+    runs = [measure_subset(X, emb, y, s) for s in sizes]
+    for r in runs:
+        print(r, flush=True)
+    # fit t_total(S) = a + b*S + c*S^2
+    S = np.array([r["n_rows"] for r in runs], dtype=float)
+    T = np.array([r["total_s"] for r in runs], dtype=float)
+    A = np.stack([np.ones_like(S), S, S**2], axis=1)
+    coef, *_ = np.linalg.lstsq(A, T, rcond=None)
+    full_rows = len(X)
+    t_full = float(coef @ np.array([1.0, full_rows, full_rows**2]))
+    n_test_full = full_rows - int(full_rows * 0.8)
+    baseline = {
+        "metric": "PAD-UFES-20-shaped fit+predict test samples/sec (torch reference)",
+        "hardware": "1-core CPU (torch 2.13 cpu); reference repo /root/reference",
+        "config": {
+            "rows": full_rows, "features": X.shape[1], "image_tokens": 1,
+            "mixer": f"MGM+CAP ({BENCH_MGM},{BENCH_CAP})",
+            "n_estimators": BENCH_EST, "nlayers": 12, "emsize": 192,
+        },
+        "subset_runs": runs,
+        "quadratic_coef": coef.tolist(),
+        "extrapolated_full_total_s": t_full,
+        "samples_per_sec": n_test_full / t_full,
+        "note": (
+            "full-scale single run is infeasible on the 1-core CPU; total time "
+            "extrapolated with a+b*S+c*S^2 fitted on the subset runs (item "
+            "attention is O(S^2)). Published weights unavailable: random weights, "
+            "identical architecture/compute."
+        ),
+    }
+    out = REPO / "bench_baseline.json"
+    out.write_text(json.dumps(baseline, indent=2))
+    print(json.dumps(baseline, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
