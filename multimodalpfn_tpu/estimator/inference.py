@@ -60,7 +60,9 @@ def _group_and_run(
 ) -> list[np.ndarray]:
     """Stack same-width members into batched forwards; return per-member logits."""
     run_cfg = dataclasses.replace(
-        cfg, compute_dtype="bfloat16" if autocast else "float32"
+        cfg,
+        compute_dtype="bfloat16" if autocast else "float32",
+        use_flash=jax.devices()[0].platform not in ("cpu",),
     )
 
     image_full = None

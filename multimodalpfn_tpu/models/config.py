@@ -63,6 +63,9 @@ class ModelConfig:
     # seed of the per-forward feature-positional-embedding draws (reference
     # `transformer.py:413,498`); static because the draw is a trace-time constant
     model_seed: int = 0
+    # fused Pallas flash kernel for the item-axis attention (TPU-only; the
+    # estimator turns this on when running on an accelerator)
+    use_flash: bool = False
 
     @property
     def nhid(self) -> int:

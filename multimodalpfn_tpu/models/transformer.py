@@ -86,6 +86,7 @@ def encoder_layer(
         single_eval_pos=single_eval_pos,
         multiquery_test=cfg.multiquery_item_attention_for_test_set,
         compute_dtype=cd,
+        use_flash=cfg.use_flash,
     )
     state = _layer_norm(state + jnp.swapaxes(h, 1, 2)).astype(cd)
     # --- MLP ---

@@ -138,11 +138,10 @@ def fine_tune_mmpfn(
         features_per_group=features_per_group,
     )
     cfg = loaded.config
+    on_accel = jax.devices()[0].platform not in ("cpu",)
     if compute_dtype is None:
-        compute_dtype = (
-            "bfloat16" if jax.devices()[0].platform not in ("cpu",) else "float32"
-        )
-    cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+        compute_dtype = "bfloat16" if on_accel else "float32"
+    cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype, use_flash=on_accel)
     params = loaded.params
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("fine-tuning %s params", f"{n_params:,}")

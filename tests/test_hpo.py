@@ -1,0 +1,92 @@
+"""Grid study + experiment driver tests (reference protocol `run.py:26-201`)."""
+
+import numpy as np
+import pytest
+
+from multimodalpfn_tpu.hpo.study import GridStudy, TrialPruned
+
+
+def test_grid_study_basics():
+    study = GridStudy(search_space={"a": [1, 2, 3], "b": [10, 20]}, direction="maximize")
+
+    def objective(trial):
+        a = trial.suggest_categorical("a", [1, 2, 3])
+        b = trial.suggest_categorical("b", [10, 20])
+        if a == 3:
+            raise TrialPruned
+        return a * b
+
+    study.optimize(objective)
+    assert len(study.trials) == 6
+    assert sum(t.state == "pruned" for t in study.trials) == 2
+    assert study.best_params == {"a": 2, "b": 20}
+    assert study.best_value == 40
+
+
+def test_grid_study_catches_failures(tmp_path):
+    study = GridStudy(search_space={"a": [1, 2]}, direction="minimize")
+
+    def objective(trial):
+        if trial.params["a"] == 1:
+            raise RuntimeError("boom")
+        return trial.params["a"]
+
+    study.optimize(objective, catch=(RuntimeError,))
+    assert study.trials[0].state == "failed"
+    assert study.best_params == {"a": 2}
+    study.save(tmp_path / "study.json")
+    assert (tmp_path / "study.json").exists()
+
+
+def test_nanmin_impute():
+    from multimodalpfn_tpu.hpo.experiment import nanmin_impute
+
+    X = np.array([[1.0, np.nan], [2.0, 5.0], [np.nan, 7.0]])
+    Xi = nanmin_impute(X)
+    assert Xi[2, 0] == 0.0  # nanmin(col0)=1 -> 0
+    assert Xi[0, 1] == 4.0  # nanmin(col1)=5 -> 4
+    assert not np.isnan(Xi).any()
+
+
+@pytest.mark.slow
+def test_experiment_end_to_end(tmp_path):
+    """Tiny grid, tiny model: the full run.py protocol (finetune -> reload with
+    preprocessing disabled -> fit/predict accuracy) on synthetic data."""
+    import jax
+
+    from multimodalpfn_tpu.datasets.synthetic import toy_multimodal_classification
+    from multimodalpfn_tpu.hpo.experiment import run_experiment
+    from multimodalpfn_tpu.models.config import MixerConfig, ModelConfig
+    from multimodalpfn_tpu.models.loading import save_model
+    from multimodalpfn_tpu.models.params import init_params
+
+    base = tmp_path / "base.ckpt"
+    cfg = ModelConfig(
+        emsize=24, nhead=6, nhid_factor=4, nlayers=2, n_out=10, max_num_classes=10,
+    )
+    save_model(base, init_params(jax.random.PRNGKey(0), cfg, model_seed=0), cfg)
+
+    X, emb, y = toy_multimodal_classification(n=80, n_classes=3, emb_dim=96, seed=0)
+    study = run_experiment(
+        X=X,
+        embeddings=emb,
+        y=y,
+        n_categorical=2,
+        config={
+            "mgm_heads_list": [2],
+            "cap_heads_list": [2],
+            "features_per_group": 1,
+            "mixer_type": "MGM+CAP",
+        },
+        dataset_name="toy",
+        path_to_base_model=str(base),
+        n_seeds=1,
+        results_path=str(tmp_path / "results.json"),
+        checkpoint_dir=str(tmp_path),
+        finetuning_config={"max_steps": 2, "validate_every_n_steps": 2},
+        time_limit=300,
+    )
+    assert study.best_value >= 0.0
+    assert (tmp_path / "results.json").exists()
+    row = study.results_table()[0]
+    assert row["n_completed_seeds"] == 1

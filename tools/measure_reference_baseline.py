@@ -44,6 +44,18 @@ def _shim_sklearn_compat() -> None:
 
     BaseEstimator._validate_data = _validate_data
 
+    # the reference also calls check_array(..., force_all_finite=...) directly
+    import sklearn.utils.validation as _skval
+
+    import mmpfn.models.mmpfn.utils as _ref_utils
+
+    def _check_array_compat(*args, **kw):
+        if "force_all_finite" in kw:
+            kw["ensure_all_finite"] = kw.pop("force_all_finite")
+        return _skval.check_array(*args, **kw)
+
+    _ref_utils.check_array = _check_array_compat
+
 
 def measure_subset(X, emb, y, n_rows: int) -> dict:
     import torch
