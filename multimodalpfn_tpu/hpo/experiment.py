@@ -53,8 +53,21 @@ def evaluate_cell(
     dataset_name: str = "dataset",
     finetuning_config: dict | None = None,
     time_limit: int = 60,
+    vmapped_seeds: bool = False,
 ) -> dict[str, Any]:
-    """One grid cell: n_seeds × (split, impute, fine-tune, evaluate)."""
+    """One grid cell: n_seeds × (split, impute, fine-tune, evaluate).
+
+    With ``vmapped_seeds`` all seeds fine-tune simultaneously in one vmapped
+    step stream (train/finetune_batch.py) instead of sequentially."""
+    if vmapped_seeds:
+        return _evaluate_cell_vmapped(
+            X=X, embeddings=embeddings, y=y, n_categorical=n_categorical,
+            mgm_heads=mgm_heads, cap_heads=cap_heads, mixer_type=mixer_type,
+            features_per_group=features_per_group, n_seeds=n_seeds,
+            path_to_base_model=path_to_base_model, checkpoint_dir=checkpoint_dir,
+            dataset_name=dataset_name, finetuning_config=finetuning_config,
+            time_limit=time_limit,
+        )
     from sklearn.metrics import accuracy_score
 
     from multimodalpfn_tpu import MMPFNClassifier
@@ -118,6 +131,105 @@ def evaluate_cell(
         logger.info("seed %d accuracy %.4f", seed, acc)
         accs.append(acc)
 
+    return {
+        "mean_accuracy": float(np.mean(accs)) if accs else 0.0,
+        "std_accuracy": float(np.std(accs)) if accs else 0.0,
+        "n_completed_seeds": len(accs),
+    }
+
+
+def _evaluate_cell_vmapped(
+    *,
+    X,
+    embeddings,
+    y,
+    n_categorical,
+    mgm_heads,
+    cap_heads,
+    mixer_type,
+    features_per_group,
+    n_seeds,
+    path_to_base_model,
+    checkpoint_dir,
+    dataset_name,
+    finetuning_config,
+    time_limit,
+) -> dict[str, Any]:
+    """All seeds of a grid cell fine-tuned in ONE vmapped step stream; per-seed
+    evaluation then reuses the batched inference engine."""
+    from sklearn.metrics import accuracy_score
+
+    from multimodalpfn_tpu import MMPFNClassifier
+    from multimodalpfn_tpu.estimator.interface_config import ModelInterfaceConfig
+    from multimodalpfn_tpu.models.loading import save_model
+    from multimodalpfn_tpu.preprocess.ensemble import PreprocessorConfig
+    from multimodalpfn_tpu.train.finetune_batch import fine_tune_batched
+
+    import jax
+
+    seeds = list(range(n_seeds))
+    n = len(y)
+    ntr = int(n * 0.8)
+    outer = {}
+    for s in seeds:
+        rng = np.random.default_rng(s)
+        perm = rng.permutation(n)
+        outer[s] = (perm[:ntr], perm[ntr:])
+
+    # all runs share shapes because every outer-train set has size ntr; each run
+    # fine-tunes ONLY on its outer-train rows (no leakage of the outer test set):
+    # inner 80/20 split of outer-train, passed explicitly per run
+    Xi = nanmin_impute(X)
+    run_splits = []
+    for s in seeds:
+        tr, _te = outer[s]
+        rng = np.random.default_rng(10_000 + s)
+        inner = rng.permutation(len(tr))
+        n_val = int(round(len(tr) * 0.2))
+        run_splits.append((tr[inner[n_val:]], tr[inner[:n_val]]))
+    out = fine_tune_batched(
+        run_splits=run_splits,
+        mixer_type=mixer_type,
+        mgm_heads=mgm_heads,
+        cap_heads=cap_heads,
+        features_per_group=features_per_group,
+        path_to_base_model=path_to_base_model,
+        X=Xi,
+        image=embeddings,
+        y=y,
+        seeds=seeds,
+        finetuning_config={"learning_rate": 1e-5, "max_steps": 100,
+                           **(finetuning_config or {})},
+        time_limit=time_limit,
+    )
+
+    no_preproc = ModelInterfaceConfig(
+        FINGERPRINT_FEATURE=False,
+        PREPROCESS_TRANSFORMS=[PreprocessorConfig(name="none")],
+    )
+    accs = []
+    ckpt_dir = Path(checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    for r, s in enumerate(seeds):
+        params_r = jax.tree.map(lambda p: p[r], out["params_stacked"])
+        path = ckpt_dir / f"finetuned_mmpfn_{dataset_name}_seed{s}.ckpt"
+        save_model(
+            path, params_r, out["config"],
+            criterion_borders=out.get("criterion_borders"),
+        )
+        tr, te = outer[s]
+        clf = MMPFNClassifier(
+            model_path=path,
+            inference_config=no_preproc,
+            ignore_pretraining_limits=True,
+            mixer_type=mixer_type,
+            mgm_heads=mgm_heads,
+            cap_heads=cap_heads,
+            features_per_group=features_per_group,
+            categorical_features_indices=list(range(n_categorical)),
+        )
+        clf.fit(Xi[tr], embeddings[tr], y[tr])
+        accs.append(accuracy_score(y[te], clf.predict(Xi[te], embeddings[te])))
     return {
         "mean_accuracy": float(np.mean(accs)) if accs else 0.0,
         "std_accuracy": float(np.std(accs)) if accs else 0.0,

@@ -50,6 +50,8 @@ def make_optimizer(
     optimizer: str = "schedule_free_adamw",
     freeze_mask: dict | None = None,
     warmup_steps: int = 0,
+    skip_nonfinite_updates: bool = True,
+    max_consecutive_nonfinite: int = 100,
 ) -> optax.GradientTransformation:
     if optimizer == "schedule_free_adamw":
         tx = optax.contrib.schedule_free_adamw(
@@ -66,6 +68,12 @@ def make_optimizer(
             {"train": tx, "frozen": optax.set_to_zero()},
             jax.tree.map(lambda t: "train" if t else "frozen", freeze_mask),
         )
+    if skip_nonfinite_updates:
+        # failure-detection: skip steps whose grads are NaN/inf — the TPU
+        # equivalent of the reference's GradScaler scale-drop skip detection
+        # (`finetune_mmpfn_main.py:686-692`), with a hard cap on consecutive
+        # failures so a persistently-broken run errors instead of spinning.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=max_consecutive_nonfinite)
     return tx
 
 
