@@ -249,6 +249,87 @@ class InferenceEngineOnDemand(InferenceEngine):
         return [(o, m.config) for o, m in zip(outs, members)]
 
 
+@dataclass
+class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
+    """fit_with_cache: prime per-layer train KV caches at fit time; predicts run
+    only the test rows (reference `inference.py:354-513`, functional re-design in
+    models/cached.py — no model deepcopies, caches are arrays in one pytree)."""
+
+    caches: dict | None = None  # (width, sep) group -> (TrainsetCache, member idxs)
+
+    def _prime(self):
+        import numpy as np
+
+        from multimodalpfn_tpu.models.cached import prime_cache
+
+        run_cfg = dataclasses.replace(
+            self.cfg,
+            compute_dtype="bfloat16" if self.autocast else "float32",
+            use_flash=jax.devices()[0].platform not in ("cpu",),
+        )
+        self._run_cfg = run_cfg
+        groups: dict[tuple, list[int]] = {}
+        for i, m in enumerate(self.members):
+            width = -1 if m.X_train is None else m.X_train.shape[1]
+            groups.setdefault((width, len(m.y_train)), []).append(i)
+        img = (
+            None
+            if self.image_train is None
+            else np.asarray(self.image_train, dtype=np.float32)
+        )
+        self.caches = {}
+        for (width, sep), idxs in groups.items():
+            ys = np.stack([self.members[i].y_train.astype(np.float32) for i in idxs])
+            xs = (
+                None
+                if width < 0
+                else np.stack(
+                    [self.members[i].X_train.astype(np.float32) for i in idxs]
+                )
+            )
+            img_b = (
+                None if img is None else np.broadcast_to(img[None], (len(idxs), *img.shape))
+            )
+            self.caches[(width, sep)] = (
+                jax.jit(prime_cache, static_argnames=("cfg",))(
+                    self.params, run_cfg, xs, ys, img_b
+                ),
+                idxs,
+            )
+
+    def iter_outputs(self, X, image_test):
+        import numpy as np
+
+        from multimodalpfn_tpu.models.cached import forward_cached
+
+        if self.caches is None:
+            self._prime()
+        X_tests = [
+            None if m.X_train is None else m.preprocessor.transform(X).X
+            for m in self.members
+        ]
+        img_te = (
+            None if image_test is None else np.asarray(image_test, dtype=np.float32)
+        )
+        outputs: list[np.ndarray | None] = [None] * len(self.members)
+        fwd = jax.jit(forward_cached, static_argnames=("cfg",))
+        for (width, sep), (cache, idxs) in self.caches.items():
+            xs = (
+                None
+                if width < 0
+                else np.stack([X_tests[i].astype(np.float32) for i in idxs])
+            )
+            img_b = (
+                None
+                if img_te is None
+                else np.broadcast_to(img_te[None], (len(idxs), *img_te.shape))
+            )
+            logits = np.asarray(fwd(self.params, self._run_cfg, cache, xs, img_b))
+            for j, i in enumerate(idxs):
+                outputs[i] = logits[j]
+        return [(o, m.config) for o, m in zip(outputs, self.members)]
+
+
 def create_inference_engine(
     *,
     X_train,
@@ -262,18 +343,16 @@ def create_inference_engine(
     rng,
     autocast: bool,
 ) -> InferenceEngine:
-    """Reference `base.py:168-257` dispatch. ``fit_with_cache`` (KV-cache priming,
-    reference `inference.py:354-513`) currently maps to the cached-preprocessing
-    engine: on TPU the batched full-context forward is already compile-cached and
-    the KV savings are small at TabPFN scales; a functional KV-cache path is
-    planned (tracked in PARITY.md)."""
+    """Reference `base.py:168-257` dispatch."""
     if fit_mode == "low_memory":
         engine_cls = InferenceEngineOnDemand
-    elif fit_mode in ("fit_preprocessors", "fit_with_cache"):
+    elif fit_mode == "fit_preprocessors":
         engine_cls = InferenceEngineCachePreprocessing
+    elif fit_mode == "fit_with_cache":
+        engine_cls = InferenceEngineCacheKV
     else:
         raise ValueError(f"Invalid fit_mode: {fit_mode}")
-    return engine_cls.prepare(
+    engine = engine_cls.prepare(
         X_train,
         y_train,
         image_train,
@@ -284,3 +363,6 @@ def create_inference_engine(
         rng=rng,
         autocast=autocast,
     )
+    if isinstance(engine, InferenceEngineCacheKV):
+        engine._prime()  # cache at fit time, like the reference
+    return engine

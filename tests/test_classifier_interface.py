@@ -32,7 +32,7 @@ def test_tabular_fit_predict_learns():
     assert set(pred) <= set(np.unique(y))
 
 
-@pytest.mark.parametrize("fit_mode", ["low_memory", "fit_preprocessors"])
+@pytest.mark.parametrize("fit_mode", ["low_memory", "fit_preprocessors", "fit_with_cache"])
 def test_fit_modes(fit_mode):
     X, y = toy_classification(n=60, n_classes=2, seed=1)
     clf = TabPFNClassifier(
