@@ -121,6 +121,9 @@ def run_scenario(name: str, out_dir: Path, **cfg):
     if tabular:
         x = rng.normal(size=(S, 1, F)).astype(np.float32)
         x[rng.random(size=x.shape) < 0.08] = np.nan  # exercise NaN path
+        # NOTE: +/-inf is NOT golden-tested: the reference itself crashes on inf
+        # inputs (NanHandling replaces inf with the inf-contaminated feature mean,
+        # normalization then yields NaN -> forward assert, transformer.py:790).
         x[:, 0, F - 1] = 1.7  # a constant column exercises RemoveEmpty
         x[5, 0, 0] = 40.0  # an outlier exercises the squash path
     if cfg["max_num_classes"] > 0:
