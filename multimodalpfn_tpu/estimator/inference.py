@@ -95,11 +95,9 @@ def _group_and_run(
         else:
             xs = None
             total_len = image_full.shape[0]
-        img = None
-        if image_full is not None:
-            img = np.broadcast_to(
-                image_full[None], (len(idxs), *image_full.shape)
-            )
+        # singleton member axis: the image is shared, the forward mixes it once
+        # and broadcasts the mixer tokens across members
+        img = None if image_full is None else image_full[None]
         for chunk in split_batch_for_memory(
             len(idxs), run_cfg, seq_len=total_len,
             n_feature_tokens=(0 if width < 0 else -(-width // cfg.features_per_group)),
@@ -110,7 +108,7 @@ def _group_and_run(
                 run_cfg,
                 None if xs is None else xs[sl],
                 ys[sl],
-                None if img is None else img[sl],
+                img,  # singleton member axis; broadcast inside the forward
                 single_eval_pos=sep,
             )
             logits = np.asarray(jax.device_get(logits))

@@ -161,10 +161,8 @@ def _forward_impl(
     return_embeddings: bool = False,
 ) -> jnp.ndarray | dict[str, Any]:
     sep = single_eval_pos
-    if x is not None:
-        b, S = x.shape[0], x.shape[1]
-    else:
-        b, S = image.shape[0], image.shape[1]
+    b = y_train.shape[0]
+    S = x.shape[1] if x is not None else image.shape[1]
 
     # ---- target tokens: pad test region with NaN then encode (transformer.py:682-724)
     y_full = jnp.concatenate(
@@ -192,6 +190,10 @@ def _forward_impl(
             params["mixer"], cfg.mixer, image.astype(jnp.float32),
             rng=mixer_rng, train=train,
         )
+        if tokens.shape[0] == 1 and b > 1:
+            # ensemble members share the image: callers pass it with a singleton
+            # batch axis, the mixer runs once, and tokens broadcast to members
+            tokens = jnp.broadcast_to(tokens, (b, *tokens.shape[1:]))
         embedded_x = (
             tokens
             if embedded_x is None
