@@ -80,6 +80,7 @@ def _group_and_run(
         groups.setdefault((width, len(m.y_train)), []).append(i)
 
     outputs: list[np.ndarray | None] = [None] * len(members)
+    pending: list[tuple[list[int], Any]] = []  # dispatch all groups, read back once
     for (width, sep), idxs in groups.items():
         ys = np.stack([members[i].y_train.astype(np.float32) for i in idxs])
         if width >= 0:
@@ -111,9 +112,11 @@ def _group_and_run(
                 img,  # singleton member axis; broadcast inside the forward
                 single_eval_pos=sep,
             )
-            logits = np.asarray(jax.device_get(logits))
-            for j, i in enumerate(idxs[sl]):
-                outputs[i] = logits[j]
+            pending.append((idxs[sl], logits))
+    for chunk_idxs, logits in pending:
+        logits = np.asarray(jax.device_get(logits))
+        for j, i in enumerate(chunk_idxs):
+            outputs[i] = logits[j]
     return outputs  # type: ignore[return-value]
 
 

@@ -110,6 +110,8 @@ def fine_tune_mmpfn(
     episode_batch_size: int = 1,
     use_early_stopping: bool = False,
     compute_dtype: str | None = None,
+    resume: bool = False,
+    state_checkpoint_every: int = 25,
 ) -> dict[str, Any]:
     """Fine-tune and save best-by-validation snapshots. Returns a history dict."""
     logger.setLevel(logger_level)
@@ -172,6 +174,17 @@ def fine_tune_mmpfn(
     train_step = make_train_step(cfg, loss_fn, tx, remat=True)
     is_sf = cfg_hp["optimizer"] == "schedule_free_adamw"
 
+    # exact resume (params + optimizer state + step) — beyond the reference,
+    # which can only restart from weight snapshots
+    state_path = Path(str(save_path_to_fine_tuned_model) + ".state.npz")
+    start_step = 0
+    if resume and state_path.exists():
+        from multimodalpfn_tpu.train.step import restore_train_state
+
+        state = restore_train_state(state_path, state)
+        start_step = int(jax.device_get(state.step))
+        logger.info("resumed fine-tuning at step %d", start_step)
+
     # ---- compiled validation forward (context = train rows, queries = val rows)
     @jax.jit
     def val_forward(p):
@@ -231,10 +244,14 @@ def fine_tune_mmpfn(
     history = {"train_loss": [], "val_error": [], "best_val_error": best_err, "steps": 0}
     key = jax.random.PRNGKey(random_seed)
 
-    for step_i in range(1, int(cfg_hp["max_steps"]) + 1):
+    for step_i in range(start_step + 1, int(cfg_hp["max_steps"]) + 1):
         if time.time() - st_time > time_limit:
             logger.info("time limit reached at step %d", step_i)
             break
+        if state_checkpoint_every and step_i % state_checkpoint_every == 0:
+            from multimodalpfn_tpu.train.step import save_train_state
+
+            save_train_state(state_path, state)
         batch = sampler.sample(episode_batch_size)
         key, sub = jax.random.split(key)
         state, metrics = train_step(state, batch, sub)

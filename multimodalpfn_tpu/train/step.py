@@ -132,3 +132,33 @@ def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainSta
     return TrainState(
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
     )
+
+
+# --- full-state checkpointing (params + optimizer state + step) --------------
+# The reference saves weight snapshots only (no optimizer-state resume,
+# SURVEY.md §5); here interrupted fine-tunes resume exactly.
+
+
+def save_train_state(path, state: TrainState) -> None:
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(state)
+    np.savez(
+        path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    )
+
+
+def restore_train_state(path, template: TrainState) -> TrainState:
+    """Restore into the structure of a freshly-initialized state (same params
+    shapes + same optimizer)."""
+    import numpy as np
+
+    data = np.load(path)
+    leaves = [data[f"leaf_{i}"] for i in range(len(data.files))]
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    assert len(leaves) == len(t_leaves), "checkpoint/optimizer structure mismatch"
+    leaves = [
+        jnp.asarray(x, dtype=t.dtype) for x, t in zip(leaves, t_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
