@@ -182,6 +182,44 @@ def flatten_targets(y: jnp.ndarray, sep: int) -> jnp.ndarray:
     return below.sum(axis=-1).astype(y.dtype)
 
 
+def frequency_features(
+    x: jnp.ndarray,
+    num_frequencies: int,
+    freq_power_base: float = 2.0,
+    max_wave_length: float = 4.0,
+) -> jnp.ndarray:
+    """`FrequencyFeatureEncoderStep` (`encoders.py:785-852`): append sin/cos
+    features at geometrically-spaced wavelengths. (..., F) -> (..., F*(1+2K))."""
+    waves = jnp.asarray(
+        [freq_power_base**i for i in range(num_frequencies)], jnp.float32
+    )
+    waves = waves / waves[-1] * max_wave_length
+    ext = x[..., None] / waves * 2 * jnp.pi
+    feats = jnp.concatenate([x[..., None], jnp.sin(ext), jnp.cos(ext)], axis=-1)
+    return feats.reshape(*x.shape[:-1], -1)
+
+
+def categorical_embedding_encoder(
+    params: dict, x: jnp.ndarray, is_categorical: jnp.ndarray, continuous_embs: jnp.ndarray
+) -> jnp.ndarray:
+    """`CategoricalInputEncoderPerFeatureEncoderStep` (`encoders.py:855-918`):
+    categorical feature groups use an embedding table (NaN/inf -> last slot),
+    continuous groups use the base encoder output. x: (b, s, f) single-feature
+    groups; is_categorical: (b, f) bool; params: {"embedding": (num_embs, e)}."""
+    table = params["embedding"]
+    num_embs = table.shape[0]
+    bad = jnp.isnan(x) | jnp.isinf(x)
+    idx = jnp.clip(x.astype(jnp.int32), 0, num_embs - 2)
+    idx = jnp.where(bad, num_embs - 1, idx)
+    cat_embs = table[idx]  # (b, s, f, e)
+    return jnp.where(is_categorical[:, None, :, None], cat_embs, continuous_embs)
+
+
+def style_encoder(params: dict, hyperparameters: jnp.ndarray) -> jnp.ndarray:
+    """`StyleEncoder` (`encoders.py:921-928`): linear embed of style/HP vectors."""
+    return hyperparameters @ params["w"] + params["b"]
+
+
 def encode_y(
     params_y: dict, cfg: ModelConfig, y: jnp.ndarray, sep: int
 ) -> jnp.ndarray:
