@@ -33,6 +33,7 @@ def build_reference_model(
     mgm_heads: int = 2,
     cap_heads: int = 2,
     remove_outliers_sigma: float | None = None,
+    cache_trainset_representation: bool = True,
 ):
     import torch
 
@@ -68,7 +69,7 @@ def build_reference_model(
         nhid=nhid,
         nlayers=nlayers,
         features_per_group=features_per_group,
-        cache_trainset_representation=True,
+        cache_trainset_representation=cache_trainset_representation,
         decoder_dict={"standard": (None, n_out)},
         feature_positional_embedding="subspace",
         multiquery_item_attention=False,
