@@ -259,8 +259,6 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
     caches: dict | None = None  # (width, sep) group -> (TrainsetCache, member idxs)
 
     def _prime(self):
-        import numpy as np
-
         from multimodalpfn_tpu.models.cached import prime_cache
 
         run_cfg = dataclasses.replace(
@@ -299,8 +297,6 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
             )
 
     def iter_outputs(self, X, image_test):
-        import numpy as np
-
         from multimodalpfn_tpu.models.cached import forward_cached
 
         if self.caches is None:

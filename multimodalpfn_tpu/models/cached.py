@@ -17,7 +17,7 @@ determine those masks.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from multimodalpfn_tpu.models.config import ModelConfig
 from multimodalpfn_tpu.models.encoders import (
     _constant_column_mask,
-    outlier_squash,
     torch_nanmean,
     torch_nanstd,
 )

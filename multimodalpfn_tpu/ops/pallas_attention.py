@@ -103,6 +103,116 @@ def _attn_kernel(
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
+def _attn_kernel_heads(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    kv_len: int,
+    block_kv: int,
+    n_kv_blocks: int,
+    n_heads: int,
+    kv_head0_only: bool,
+):
+    """Head-folded variant: one grid cell covers ALL heads of a (q, kv) block pair,
+    cutting grid-cell count (and per-cell launch overhead) by n_heads; with a
+    single shared KV head (multiquery) the K/V tiles are fetched once for all
+    query heads."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    first_masked = kv_len - ki * block_kv
+    for hh in range(n_heads):  # static unroll
+        q = q_ref[0, hh]  # (block_q, d)
+        kv_h = 0 if kv_head0_only else hh
+        k = k_ref[0, kv_h]
+        v = v_ref[0, kv_h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < first_masked, s, MASK_VALUE)
+
+        m_prev = m_scr[hh]
+        l_prev = l_scr[hh]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev[:, :1], m_curr)
+        alpha = jnp.exp(m_prev[:, :1] - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[hh] = jnp.broadcast_to(m_next, m_scr.shape[1:])
+        l_scr[hh] = jnp.broadcast_to(l_next, l_scr.shape[1:])
+        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_scr[hh] = acc_scr[hh] * alpha + pv
+
+    @pl.when(ki == n_kv_blocks - 1)
+    def _store():
+        for hh in range(n_heads):
+            l_fin = l_scr[hh][:, :1]
+            l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
+            o_ref[0, hh] = (acc_scr[hh] * l_inv).astype(o_ref.dtype)
+
+
+def _flash_forward_heads(
+    q, k, v, *, kv_head0_only, sm_scale, block_q, block_kv
+) -> jnp.ndarray:
+    B, h, Sq, d = q.shape
+    kv_len = k.shape[2]
+    block_q = min(block_q, max(LANES, 1 << (Sq - 1).bit_length()))
+    block_kv = min(block_kv, max(LANES, 1 << (kv_len - 1).bit_length()))
+    qp = _pad_to(q, 2, block_q)
+    kp = _pad_to(k, 2, block_kv)
+    vp = _pad_to(v, 2, block_kv)
+    n_q_blocks = qp.shape[2] // block_q
+    n_kv_blocks = kp.shape[2] // block_kv
+    h_kv = k.shape[1]
+
+    kernel = functools.partial(
+        _attn_kernel_heads,
+        sm_scale=sm_scale,
+        kv_len=kv_len,
+        block_kv=block_kv,
+        n_kv_blocks=n_kv_blocks,
+        n_heads=h,
+        kv_head0_only=kv_head0_only,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, n_q_blocks, n_kv_blocks),
+            in_specs=[
+                pl.BlockSpec((1, h, block_q, d), lambda b, qi, ki: (b, 0, qi, 0)),
+                pl.BlockSpec((1, h_kv, block_kv, d), lambda b, qi, ki: (b, 0, ki, 0)),
+                pl.BlockSpec((1, h_kv, block_kv, d), lambda b, qi, ki: (b, 0, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, h, block_q, d), lambda b, qi, ki: (b, 0, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((h, block_q, LANES), jnp.float32),
+                pltpu.VMEM((h, block_q, LANES), jnp.float32),
+                pltpu.VMEM((h, block_q, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qp, kp, vp)
+    return out[:, :, :Sq]
+
+
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     pad = (-x.shape[axis]) % multiple
     if pad == 0:

@@ -36,7 +36,6 @@ from multimodalpfn_tpu.train.early_stopping import AdaptiveES
 from multimodalpfn_tpu.train.losses import get_loss_fn
 from multimodalpfn_tpu.train.metrics import get_scorer
 from multimodalpfn_tpu.train.step import (
-    TrainState,
     eval_params,
     frozen_input_mask,
     init_train_state,

@@ -11,7 +11,6 @@ the step jits over an explicit device mesh (dp episodes × mp tensor-parallel).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
