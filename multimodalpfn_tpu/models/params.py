@@ -263,8 +263,16 @@ def convert_torch_state_dict(
     def layer_stack(fmt: str) -> jnp.ndarray:
         return jnp.asarray(np.stack([sd[fmt.format(l=l)] for l in range(L)]))
 
+    enc_w = find_one(r"encoder\.\d+\.layer\.weight")
+    if enc_w.shape[1] != 2 * cfg.features_per_group:
+        raise ValueError(
+            f"features_per_group={cfg.features_per_group} is inconsistent with the "
+            f"checkpoint's input encoder (expects {enc_w.shape[1] // 2}); the "
+            "reference's strict=False load would fail on this shape mismatch too "
+            "(`loading.py:540`). Pass the checkpoint's features_per_group."
+        )
     params: Params = {
-        "encoder": {"w": jnp.asarray(find_one(r"encoder\.\d+\.layer\.weight").T)},
+        "encoder": {"w": jnp.asarray(enc_w.T)},
         "y_encoder": {
             "w": jnp.asarray(find_one(r"y_encoder\.\d+\.layer\.weight").T),
             "b": jnp.asarray(find_one(r"y_encoder\.\d+\.layer\.bias")),
