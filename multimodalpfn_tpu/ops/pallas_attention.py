@@ -119,10 +119,14 @@ def _attn_kernel_heads(
     n_heads: int,
     kv_head0_only: bool,
 ):
-    """Head-folded variant: one grid cell covers ALL heads of a (q, kv) block pair,
-    cutting grid-cell count (and per-cell launch overhead) by n_heads; with a
-    single shared KV head (multiquery) the K/V tiles are fetched once for all
-    query heads."""
+    """Head-folded variant: one grid cell covers ALL heads of a (q, kv) block pair.
+
+    Measured on v5e @ (B=92, h=6, S=1838, d=32) bf16: 51.6ms vs the flat kernel's
+    43ms (256/512 blocks); 512/1024 blocks exceed the 16MB VMEM scratch budget.
+    Conclusion: grid-cell overhead is NOT the limiter — the d=32 contraction/output
+    geometry underutilizes the 128-wide MXU either way. Kept as an engineering
+    record + for shapes with many more heads; the flat `flash_mha` is the
+    production path."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
