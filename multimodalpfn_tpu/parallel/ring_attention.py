@@ -13,13 +13,13 @@ kernel per-shard when shards are long enough.
 
 from __future__ import annotations
 
-import functools
+
 import math
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.shard_map import shard_map
+from jax import shard_map
 
 
 def _block_attention(q, k, v, sm_scale):
