@@ -69,20 +69,21 @@ def ring_attention(
             return k_nxt, v_nxt, m_new, l, acc
 
         B, h, Sq, d = q_loc.shape
-        m0 = jnp.full((B, h, Sq), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((B, h, Sq), jnp.float32)
-        a0 = jnp.zeros((B, h, Sq, d), jnp.float32)
+        # stats vary across the ring axis from step 1 on; mark them varying up
+        # front so the fori_loop carry type is stable under shard_map
+        m0 = jax.lax.pvary(jnp.full((B, h, Sq), -jnp.inf, jnp.float32), (axis,))
+        l0 = jax.lax.pvary(jnp.zeros((B, h, Sq), jnp.float32), (axis,))
+        a0 = jax.lax.pvary(jnp.zeros((B, h, Sq, d), jnp.float32), (axis,))
         _, _, m, l, acc = jax.lax.fori_loop(
             0, n, step, (k_loc, v_loc, m0, l0, a0)
         )
-        return acc / l[..., None]
+        return jax.lax.pmean(acc / l[..., None], axis)
 
     return shard_map(
         inner,
         mesh=mesh,
         in_specs=(P(), P(None, None, axis, None), P(None, None, axis, None)),
         out_specs=P(),
-        check_rep=False,
     )(q, k, v)
 
 
@@ -119,9 +120,9 @@ def ring_attention_sharded_queries(
             )
 
         B, h, Sq, d = q_loc.shape
-        m0 = jnp.full((B, h, Sq), -jnp.inf, jnp.float32)
-        l0 = jnp.zeros((B, h, Sq), jnp.float32)
-        a0 = jnp.zeros((B, h, Sq, d), jnp.float32)
+        m0 = jax.lax.pvary(jnp.full((B, h, Sq), -jnp.inf, jnp.float32), (axis,))
+        l0 = jax.lax.pvary(jnp.zeros((B, h, Sq), jnp.float32), (axis,))
+        a0 = jax.lax.pvary(jnp.zeros((B, h, Sq, d), jnp.float32), (axis,))
         _, _, m, l, acc = jax.lax.fori_loop(0, n, step, (k_loc, v_loc, m0, l0, a0))
         return acc / l[..., None]
 
@@ -134,5 +135,4 @@ def ring_attention_sharded_queries(
             P(None, None, axis, None),
         ),
         out_specs=P(None, None, axis, None),
-        check_rep=False,
     )(q, k, v)
