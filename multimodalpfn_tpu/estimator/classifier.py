@@ -264,6 +264,11 @@ class TabPFNClassifier(MMPFNClassifier):
         kwargs.setdefault("mixer_type", "none")
         super().__init__(**kwargs)
 
+    @classmethod
+    def _get_param_names(cls):
+        # sklearn introspects __init__; ours forwards **kwargs to the parent
+        return MMPFNClassifier._get_param_names()
+
     def fit(self, X, y):  # type: ignore[override]
         return super().fit(X, None, y)
 

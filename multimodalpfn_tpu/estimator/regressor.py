@@ -301,6 +301,11 @@ class TabPFNRegressor(MMPFNRegressor):
         kwargs.setdefault("mixer_type", "none")
         super().__init__(**kwargs)
 
+    @classmethod
+    def _get_param_names(cls):
+        # sklearn introspects __init__; ours forwards **kwargs to the parent
+        return MMPFNRegressor._get_param_names()
+
     def fit(self, X, y):  # type: ignore[override]
         return super().fit(X, None, y)
 

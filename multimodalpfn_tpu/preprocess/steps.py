@@ -318,6 +318,10 @@ class EncodeCategoricalFeaturesStep(PreprocessingStep):
         return np.concatenate(blocks, axis=1)
 
 
+def _identity_np(x):
+    return x
+
+
 def _least_common_count(col: np.ndarray) -> int:
     if len(col) == 0:
         return 0
@@ -388,7 +392,7 @@ class ReshapeFeatureDistributionsStep(PreprocessingStep):
         if name == "robust":
             return RobustScaler(unit_variance=True)
         if name == "none":
-            return FunctionTransformer(lambda x: x)
+            return FunctionTransformer(_identity_np)
         if name == "log":
             return FunctionTransformer(np.log, check_inverse=False)
         if name == "1_plus_log":

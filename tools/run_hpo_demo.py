@@ -18,6 +18,9 @@ def main():
     from multimodalpfn_tpu.datasets.synthetic import pad_ufes_like
     from multimodalpfn_tpu.hpo.experiment import run_experiment
 
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    results_dir = repo / "results"
+    results_dir.mkdir(exist_ok=True)
     X, emb, y = pad_ufes_like(seed=0)
     t0 = time.time()
     study = run_experiment(
@@ -34,7 +37,7 @@ def main():
         dataset_name="pad_ufes_like_demo",
         path_to_base_model="random:0",
         n_seeds=2,
-        results_path="results/hpo_demo.json",
+        results_path=str(results_dir / "hpo_demo.json"),
         checkpoint_dir="/tmp/hpo_demo_ckpts",
         finetuning_config={"max_steps": 5, "validate_every_n_steps": 5},
         time_limit=1800,
@@ -46,8 +49,7 @@ def main():
         "table": study.results_table(),
         "wall_s": round(time.time() - t0, 1),
     }
-    pathlib.Path("results").mkdir(exist_ok=True)
-    pathlib.Path("results/hpo_demo_summary.json").write_text(json.dumps(out, indent=2))
+    (results_dir / "hpo_demo_summary.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
 
