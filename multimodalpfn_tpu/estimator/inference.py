@@ -48,6 +48,18 @@ class _Member:
     cat_ix: list[int] | None
 
 
+TEST_SIZE_BUCKET = 128
+
+
+def _bucket_test_rows(n_test: int, bucket: int = TEST_SIZE_BUCKET) -> int:
+    """Round the test-row count up to a bucket so repeated predicts with varying
+    test sizes reuse one compiled program. Padding rows are copies of an existing
+    row, which provably cannot change any train-fitted or full-sequence encoder
+    statistic (constant-column masks see a duplicate value), and test rows never
+    attend to each other — so outputs for real rows are bit-identical."""
+    return max(bucket, -(-n_test // bucket) * bucket)
+
+
 def _group_and_run(
     params: dict,
     cfg: ModelConfig,
@@ -57,6 +69,7 @@ def _group_and_run(
     image_test: np.ndarray | None,
     *,
     autocast: bool,
+    bucket_test_rows: bool = True,
 ) -> list[np.ndarray]:
     """Stack same-width members into batched forwards; return per-member logits."""
     run_cfg = dataclasses.replace(
@@ -65,13 +78,32 @@ def _group_and_run(
         use_flash=jax.devices()[0].platform not in ("cpu",),
     )
 
+    # bucket the test-row count (compile-cache friendliness for repeated predicts)
+    n_test = None
+    if image_test is not None:
+        n_test = len(image_test)
+    for Xt in X_tests:
+        if Xt is not None:
+            n_test = len(Xt)
+            break
+    pad_rows = (_bucket_test_rows(n_test) - n_test) if bucket_test_rows else 0
+    if pad_rows:
+        X_tests = [
+            None
+            if Xt is None
+            else np.concatenate([Xt, np.repeat(Xt[-1:], pad_rows, axis=0)])
+            for Xt in X_tests
+        ]
+        if image_test is not None:
+            image_test = np.concatenate(
+                [image_test, np.repeat(np.asarray(image_test)[-1:], pad_rows, axis=0)]
+            )
+
     image_full = None
     if image_train is not None and image_test is not None:
         image_full = np.concatenate(
             [np.asarray(image_train), np.asarray(image_test)], axis=0
         ).astype(np.float32)
-        if image_full.ndim == 3:  # (S, N, D) -> add member axis later
-            pass
 
     # group member indices by (feature width, train length)
     groups: dict[tuple, list[int]] = {}
@@ -115,6 +147,8 @@ def _group_and_run(
             pending.append((idxs[sl], logits))
     for chunk_idxs, logits in pending:
         logits = np.asarray(jax.device_get(logits))
+        if pad_rows:
+            logits = logits[:, :-pad_rows]
         for j, i in enumerate(chunk_idxs):
             outputs[i] = logits[j]
     return outputs  # type: ignore[return-value]
@@ -308,6 +342,21 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
         img_te = (
             None if image_test is None else np.asarray(image_test, dtype=np.float32)
         )
+        n_test = len(img_te) if img_te is not None else len(
+            next(Xt for Xt in X_tests if Xt is not None)
+        )
+        pad_rows = _bucket_test_rows(n_test) - n_test
+        if pad_rows:
+            X_tests = [
+                None
+                if Xt is None
+                else np.concatenate([Xt, np.repeat(Xt[-1:], pad_rows, axis=0)])
+                for Xt in X_tests
+            ]
+            if img_te is not None:
+                img_te = np.concatenate(
+                    [img_te, np.repeat(img_te[-1:], pad_rows, axis=0)]
+                )
         outputs: list[np.ndarray | None] = [None] * len(self.members)
         fwd = jax.jit(forward_cached, static_argnames=("cfg",))
         for (width, sep), (cache, idxs) in self.caches.items():
@@ -322,6 +371,8 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
                 else np.broadcast_to(img_te[None], (len(idxs), *img_te.shape))
             )
             logits = np.asarray(fwd(self.params, self._run_cfg, cache, xs, img_b))
+            if pad_rows:
+                logits = logits[:, :-pad_rows]
             for j, i in enumerate(idxs):
                 outputs[i] = logits[j]
         return [(o, m.config) for o, m in zip(outputs, self.members)]
