@@ -144,3 +144,85 @@ def test_regressor_member_pipelines_match_reference():
         )
     )
     _compare_members(ours, theirs, X_test)
+
+
+@pytest.mark.parametrize(
+    "name,cat_name,append,subsample",
+    [
+        ("quantile_norm", "onehot", False, -1),
+        ("quantile_uni_fine", "ordinal_shuffled", False, -1),
+        ("robust", "none", False, -1),
+        ("safepower", "numeric", True, -1),
+        ("quantile_uni", "ordinal", False, 0.6),
+        pytest.param(
+            "per_feature", "none", False, -1,
+            marks=pytest.mark.xfail(
+                reason="per_feature draws transformers from the registry, whose "
+                "contents depend on optional deps (the reference's kditransform is "
+                "absent here, shrinking its pool); draw sequences cannot align "
+                "across environments. Our pool is documented in preprocess/steps.py.",
+                strict=False,
+            ),
+        ),
+    ],
+)
+def test_exotic_preprocessor_configs_match_reference(name, cat_name, append, subsample):
+    X, y = _data(seed=5, n=100, f=6, cats=(0, 1))
+    X_train, X_test = X[:80], X[80:]
+    y_train = y[:80]
+
+    from multimodalpfn_tpu.preprocess.ensemble import PreprocessorConfig as OurPC
+
+    ours_cfgs = EnsembleConfig.generate_for_classification(
+        n=2, subsample_size=None, max_index=80, add_fingerprint_feature=False,
+        polynomial_features="no", feature_shift_decoder="rotate",
+        preprocessor_configs=[
+            OurPC(name, categorical_name=cat_name, append_original=append,
+                  subsample_features=subsample)
+        ],
+        class_shift_method="rotate", n_classes=3, random_state=11,
+    )
+    ref_cfgs = ref_preproc.EnsembleConfig.generate_for_classification(
+        n=2, subsample_size=None, max_index=80, add_fingerprint_feature=False,
+        polynomial_features="no", feature_shift_decoder="rotate",
+        preprocessor_configs=[
+            ref_preproc.PreprocessorConfig(
+                name, categorical_name=cat_name, append_original=append,
+                subsample_features=subsample)
+        ],
+        class_shift_method="rotate", n_classes=3, random_state=11,
+    )
+    ours = fit_preprocessing(ours_cfgs, X_train, y_train, random_state=11, cat_ix=[0, 1])
+    theirs = list(
+        ref_preproc.fit_preprocessing(
+            ref_cfgs, X_train, y_train, random_state=11, cat_ix=[0, 1],
+            n_workers=1, parallel_mode="block",
+        )
+    )
+    _compare_members(ours, theirs, X_test)
+
+
+def test_polynomial_and_row_subsample_match_reference():
+    X, y = _data(seed=6, n=100, f=5, cats=())
+    X_train, y_train = X[:80], y[:80]
+    kw = dict(
+        n=2, subsample_size=40, max_index=80, add_fingerprint_feature=False,
+        polynomial_features=4, feature_shift_decoder=None,
+        class_shift_method=None, n_classes=3, random_state=13,
+    )
+    ours_cfgs = EnsembleConfig.generate_for_classification(
+        preprocessor_configs=default_classifier_preprocessor_configs(), **kw
+    )
+    ref_cfgs = ref_preproc.EnsembleConfig.generate_for_classification(
+        preprocessor_configs=ref_preproc.default_classifier_preprocessor_configs(), **kw
+    )
+    for a, b in zip(ours_cfgs, ref_cfgs):
+        np.testing.assert_array_equal(a.subsample_ix, b.subsample_ix)
+    ours = fit_preprocessing(ours_cfgs, X_train, y_train, random_state=13, cat_ix=[])
+    theirs = list(
+        ref_preproc.fit_preprocessing(
+            ref_cfgs, X_train, y_train, random_state=13, cat_ix=[],
+            n_workers=1, parallel_mode="block",
+        )
+    )
+    _compare_members(ours, theirs, X[80:])
