@@ -234,13 +234,30 @@ def fine_tune_mmpfn(
     sampler = EpisodeSampler(
         X=X_train, image=image_train, y=y_train, is_classification=is_classification
     )
+    try:  # progress bar parity (reference `finetune_mmpfn_main.py:376-382`)
+        from tqdm import tqdm
+
+        pbar = tqdm(
+            total=int(cfg_hp["max_steps"]),
+            initial=start_step,
+            disable=logger_level >= 20,
+            desc="fine-tune",
+        )
+    except ImportError:  # pragma: no cover
+        pbar = None
     es = AdaptiveES(
         adaptive_rate=cfg_hp["adaptive_rate"],
         adaptive_offset=cfg_hp["adaptive_offset"],
         min_patience=cfg_hp["min_patience"],
         max_patience=cfg_hp["max_patience"],
     )
-    history = {"train_loss": [], "val_error": [], "best_val_error": best_err, "steps": 0}
+    history = {
+        "train_loss": [],
+        "grad_norm": [],
+        "val_error": [],
+        "best_val_error": best_err,
+        "steps": 0,
+    }
     key = jax.random.PRNGKey(random_seed)
 
     for step_i in range(start_step + 1, int(cfg_hp["max_steps"]) + 1):
@@ -256,7 +273,11 @@ def fine_tune_mmpfn(
         state, metrics = train_step(state, batch, sub)
         loss = float(jax.device_get(metrics["loss"]))
         history["train_loss"].append(loss)
+        history["grad_norm"].append(float(jax.device_get(metrics["grad_norm"])))
         history["steps"] = step_i
+        if pbar is not None:
+            pbar.update(1)
+            pbar.set_postfix(loss=f"{loss:.4f}", best_val=f"{best_err:.4f}")
 
         if step_i % int(cfg_hp["validate_every_n_steps"]) == 0:
             p_eval = eval_params(state, is_sf)
@@ -272,6 +293,8 @@ def fine_tune_mmpfn(
                 logger.info("early stopping at step %d", step_i)
                 break
 
+    if pbar is not None:
+        pbar.close()
     # orbax-native snapshot of the final state alongside the torch-format best
     save_native(
         str(save_path) + ".orbax",
