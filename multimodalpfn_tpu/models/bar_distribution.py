@@ -208,8 +208,16 @@ class FullSupportBarDistribution:
         factor = factor.at[..., -1].set(f1)
         return (p * factor).sum(-1)
 
+    def _ei_for_halfnormal(self, scale, best_f):
+        """EI under a half-normal tail (reference `bar_distribution.py:677-703`)."""
+        u = (0.0 - best_f) / scale
+        ucdf = 0.5 * (1.0 + jax.scipy.special.erf(u / _SQRT2))
+        updf = jnp.exp(-0.5 * u**2) / math.sqrt(2 * math.pi)
+        return 2.0 * scale * (updf + u * ucdf)
+
     def ei(self, logits, best_f, *, maximize=True):
-        """Expected improvement (reference `bar_distribution.py:334-358`)."""
+        """Expected improvement with half-normal tail buckets
+        (reference `FullSupportBarDistribution.ei`, `bar_distribution.py:706-760`)."""
         assert maximize
         best_f = jnp.broadcast_to(jnp.asarray(best_f, logits.dtype), logits.shape[:-1])
         diffs = self.bucket_widths
@@ -218,6 +226,14 @@ class FullSupportBarDistribution:
         contrib = (
             (self.borders[1:] ** 2 - clamped**2) / 2 - bf * (self.borders[1:] - clamped)
         ) / diffs
+        s0, s1 = self._side_scales()
+        pos0 = -jnp.clip(best_f - self.borders[1], max=0.0)
+        pos1 = jnp.clip(best_f - self.borders[-2], min=0.0)
+        contrib = contrib.at[..., -1].set(self._ei_for_halfnormal(s1, pos1))
+        contrib = contrib.at[..., 0].set(
+            self._ei_for_halfnormal(s0, jnp.zeros_like(pos0))
+            - self._ei_for_halfnormal(s0, pos0)
+        )
         p = jax.nn.softmax(logits, axis=-1)
         return jnp.einsum("...b,...b->...", p, contrib)
 
