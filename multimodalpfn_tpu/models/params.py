@@ -85,7 +85,11 @@ def get_subspace_noise(model_seed: int, n_tokens: int, sub_dim: int) -> np.ndarr
         import torch
 
         gen = torch.Generator(device="cpu")
-        gen.manual_seed(int(model_seed))
+        if model_seed:
+            gen.manual_seed(int(model_seed))
+        # else: the reference's `if self.seed:` guard (`transformer.py:423`) treats
+        # seed=0 as falsy, leaving the generator at torch's deterministic default
+        # seed (67280421310721) — reproduced by not seeding.
         return torch.randn((n_tokens, sub_dim), generator=gen).numpy()
     except ImportError:  # pragma: no cover - torch is available in dev images
         rng = np.random.default_rng(int(model_seed))

@@ -46,9 +46,13 @@ def test_subspace_noise_reproduces_torch_draws():
     torch = pytest.importorskip("torch")
     from multimodalpfn_tpu.models.params import get_subspace_noise
 
-    for seed, f, sub in [(7, 6, 6), (0, 48, 48), (12345, 17, 48)]:
+    for seed, f, sub in [(7, 6, 6), (42, 48, 48), (12345, 17, 48)]:
         gen = torch.Generator(device="cpu")
         gen.manual_seed(seed)
         want = torch.randn((f, sub), generator=gen).numpy()
         got = get_subspace_noise(seed, f, sub)
         np.testing.assert_array_equal(got, want)
+    # seed=0 is falsy in the reference (`transformer.py:423`): the generator stays
+    # at torch's deterministic default seed, NOT manual_seed(0)
+    want0 = torch.randn((5, 6), generator=torch.Generator(device="cpu")).numpy()
+    np.testing.assert_array_equal(get_subspace_noise(0, 5, 6), want0)

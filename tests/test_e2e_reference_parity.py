@@ -1,0 +1,117 @@
+"""END-TO-END parity: the reference MMPFNClassifier (torch, CPU) and ours produce
+matching predict_proba on the same checkpoint, data, and random_state.
+
+This closes the loop over every layer at once: ckpt loading, ensemble RNG
+protocol, member preprocessing, on-device encoders, the transformer forward,
+and the predict post-processing. Fingerprints are disabled (the one documented
+hash divergence)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("mmpfn.models.mmpfn.classifier")
+
+
+def _shim_sklearn_compat():
+    from sklearn.base import BaseEstimator
+    from sklearn.utils.validation import validate_data
+
+    if not hasattr(BaseEstimator, "_validate_data"):
+
+        def _validate_data(self, X="no_validation", y="no_validation", **kw):
+            kw.pop("estimator", None)
+            if "force_all_finite" in kw:
+                kw["ensure_all_finite"] = kw.pop("force_all_finite")
+            return validate_data(self, X, y, **kw)
+
+        BaseEstimator._validate_data = _validate_data
+
+    import sklearn.utils.validation as skval
+
+    import mmpfn.models.mmpfn.utils as ref_utils
+
+    def _check_array_compat(*args, **kw):
+        if "force_all_finite" in kw:
+            kw["ensure_all_finite"] = kw.pop("force_all_finite")
+        return skval.check_array(*args, **kw)
+
+    ref_utils.check_array = _check_array_compat
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    """Reference-format checkpoint from a tiny randomized torch reference model."""
+    from tools.gen_golden import build_reference_model
+
+    from multimodalpfn_tpu.models.loading import model_config_to_ckpt_config
+    from multimodalpfn_tpu.models.config import ModelConfig
+
+    model = build_reference_model(
+        seed=3, nlayers=2, emsize=24, nhead=6, nhid=96, features_per_group=1,
+        max_num_classes=10, n_out=10, mixer_type=None,
+    )
+    cfg = ModelConfig(emsize=24, nhead=6, nhid_factor=4, nlayers=2, n_out=10)
+    path = tmp_path_factory.mktemp("e2e") / "tiny.ckpt"
+    torch.save(
+        {"state_dict": model.state_dict(), "config": model_config_to_ckpt_config(cfg)},
+        path,
+    )
+    return path
+
+
+@pytest.mark.slow
+def test_classifier_predict_proba_matches_reference(tiny_ckpt):
+    _shim_sklearn_compat()
+    from mmpfn.models.mmpfn.classifier import MMPFNClassifier as RefClf
+    from mmpfn.models.mmpfn.constants import ModelInterfaceConfig as RefMIC
+    from mmpfn.models.mmpfn.preprocessing import PreprocessorConfig as RefPC
+
+    from multimodalpfn_tpu import MMPFNClassifier
+    from multimodalpfn_tpu.estimator.interface_config import ModelInterfaceConfig
+    from multimodalpfn_tpu.preprocess.ensemble import PreprocessorConfig
+
+    rng = np.random.default_rng(0)
+    n, F = 70, 5
+    X = rng.normal(size=(n, F))
+    X[:, 0] = rng.integers(0, 3, size=n)
+    y = rng.integers(0, 3, size=n)
+    Xtr, Xte, ytr = X[:55], X[55:], y[:55]
+
+    # identical member recipes, fingerprint disabled (hash divergence documented)
+    ref_cfgs = [
+        RefPC("quantile_uni_coarse", append_original=True,
+              categorical_name="ordinal_very_common_categories_shuffled",
+              global_transformer_name="svd"),
+        RefPC("none", categorical_name="numeric"),
+    ]
+    our_cfgs = [
+        PreprocessorConfig("quantile_uni_coarse", append_original=True,
+                           categorical_name="ordinal_very_common_categories_shuffled",
+                           global_transformer_name="svd"),
+        PreprocessorConfig("none", categorical_name="numeric"),
+    ]
+
+    ref = RefClf(
+        model_path=str(tiny_ckpt), mixer_type="MGM", mgm_heads=1, cap_heads=1,
+        features_per_group=1, n_estimators=2, random_state=0, device="cpu",
+        inference_config=RefMIC(FINGERPRINT_FEATURE=False, PREPROCESS_TRANSFORMS=ref_cfgs),
+    )
+    ref.fit(Xtr, None, ytr)
+    want = ref.predict_proba(Xte, None)
+
+    ours = MMPFNClassifier(
+        model_path=str(tiny_ckpt), mixer_type="none", mgm_heads=1, cap_heads=1,
+        features_per_group=1, n_estimators=2, random_state=0,
+        inference_config=ModelInterfaceConfig(
+            FINGERPRINT_FEATURE=False, PREPROCESS_TRANSFORMS=our_cfgs
+        ),
+    )
+    ours.fit(Xtr, None, ytr)
+    got = ours.predict_proba(Xte, None)
+
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
