@@ -39,6 +39,24 @@ _forward_jit = jax.jit(
 )
 
 
+def _prime_cache_jit():
+    from multimodalpfn_tpu.models.cached import prime_cache
+
+    global _prime_jit
+    if "_prime_jit" not in globals():
+        _prime_jit = jax.jit(prime_cache, static_argnames=("cfg",))
+    return _prime_jit
+
+
+def _forward_cached_jit():
+    from multimodalpfn_tpu.models.cached import forward_cached
+
+    global _fwd_cached_jit
+    if "_fwd_cached_jit" not in globals():
+        _fwd_cached_jit = jax.jit(forward_cached, static_argnames=("cfg",))
+    return _fwd_cached_jit
+
+
 @dataclass
 class _Member:
     config: EnsembleConfig
@@ -293,8 +311,6 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
     caches: dict | None = None  # (width, sep) group -> (TrainsetCache, member idxs)
 
     def _prime(self):
-        from multimodalpfn_tpu.models.cached import prime_cache
-
         run_cfg = dataclasses.replace(
             self.cfg,
             compute_dtype="bfloat16" if self.autocast else "float32",
@@ -324,15 +340,11 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
                 None if img is None else np.broadcast_to(img[None], (len(idxs), *img.shape))
             )
             self.caches[(width, sep)] = (
-                jax.jit(prime_cache, static_argnames=("cfg",))(
-                    self.params, run_cfg, xs, ys, img_b
-                ),
+                _prime_cache_jit()(self.params, run_cfg, xs, ys, img_b),
                 idxs,
             )
 
     def iter_outputs(self, X, image_test):
-        from multimodalpfn_tpu.models.cached import forward_cached
-
         if self.caches is None:
             self._prime()
         X_tests = [
@@ -358,7 +370,7 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
                     [img_te, np.repeat(img_te[-1:], pad_rows, axis=0)]
                 )
         outputs: list[np.ndarray | None] = [None] * len(self.members)
-        fwd = jax.jit(forward_cached, static_argnames=("cfg",))
+        fwd = _forward_cached_jit()  # module-level: predicts reuse one compile
         for (width, sep), (cache, idxs) in self.caches.items():
             xs = (
                 None
