@@ -17,6 +17,7 @@ from dataclasses import dataclass
 from typing import Any, Literal, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from multimodalpfn_tpu.models.config import ModelConfig
@@ -119,9 +120,15 @@ def _group_and_run(
 
     image_full = None
     if image_train is not None and image_test is not None:
-        image_full = np.concatenate(
-            [np.asarray(image_train), np.asarray(image_test)], axis=0
-        ).astype(np.float32)
+        # train-side image may already live on device (cached by the engine across
+        # predicts); concat happens on device, only the test rows transfer
+        img_tr = (
+            image_train
+            if isinstance(image_train, jax.Array)
+            else jnp.asarray(np.asarray(image_train, dtype=np.float32))
+        )
+        img_te = jnp.asarray(np.asarray(image_test, dtype=np.float32))
+        image_full = jnp.concatenate([img_tr, img_te], axis=0)
 
     # group member indices by (feature width, train length)
     groups: dict[tuple, list[int]] = {}
@@ -225,12 +232,19 @@ class InferenceEngineCachePreprocessing(InferenceEngine):
             None if m.X_train is None else m.preprocessor.transform(X).X
             for m in self.members
         ]
+        img_tr = self.image_train
+        if img_tr is not None:
+            if not hasattr(self, "_image_train_dev"):
+                self._image_train_dev = jnp.asarray(
+                    np.asarray(img_tr, dtype=np.float32)
+                )
+            img_tr = self._image_train_dev
         outs = _group_and_run(
             self.params,
             self.cfg,
             self.members,
             X_tests,
-            self.image_train,
+            img_tr,
             image_test,
             autocast=self.autocast,
         )
