@@ -69,8 +69,36 @@ def _make_registry() -> dict[str, Scorer]:
     def rmse(y, p):
         return float(np.sqrt(M.mean_squared_error(y, p)))
 
+    def precision(y, p):
+        return M.precision_score(y, _proba_to_labels(p), average="macro", zero_division=0)
+
+    def recall(y, p):
+        return M.recall_score(y, _proba_to_labels(p), average="macro", zero_division=0)
+
+    def quadratic_kappa(y, p):
+        return M.cohen_kappa_score(y, _proba_to_labels(p), weights="quadratic")
+
+    def pac(y, p):
+        # AutoGluon's pac_score analogue: 1 - normalized log loss vs the prior
+        import numpy as _np
+
+        p = _np.clip(_np.asarray(p, float), 1e-15, 1.0)
+        n_classes = p.shape[-1] if p.ndim > 1 else 2
+        ll = M.log_loss(y, p, labels=list(range(n_classes)))
+        return float(_np.exp(-ll))
+
     return {
         "accuracy": Scorer("accuracy", acc, 1.0, True, needs_proba=True),
+        "precision": Scorer("precision", precision, 1.0, True, needs_proba=True),
+        "recall": Scorer("recall", recall, 1.0, True, needs_proba=True),
+        "quadratic_kappa": Scorer("quadratic_kappa", quadratic_kappa, 1.0, True, needs_proba=True),
+        "pac": Scorer("pac", pac, 1.0, True, needs_proba=True),
+        "mse": Scorer(
+            "mse", lambda y, p: M.mean_squared_error(y, p), 0.0, False
+        ),
+        "medae": Scorer(
+            "medae", lambda y, p: M.median_absolute_error(y, p), 0.0, False
+        ),
         "balanced_accuracy": Scorer("balanced_accuracy", bal_acc, 1.0, True, needs_proba=True),
         "f1": Scorer("f1", f1, 1.0, True, needs_proba=True),
         "mcc": Scorer("mcc", mcc, 1.0, True, needs_proba=True),
