@@ -19,6 +19,7 @@ def test_registry_contents():
 def test_classification_scorers():
     y = np.array([0, 1, 2, 1, 0, 2])
     proba = np.eye(3)[y] * 0.8 + 0.1
+    proba = proba / proba.sum(axis=1, keepdims=True)
     for name in ("accuracy", "balanced_accuracy", "f1", "precision", "recall",
                  "quadratic_kappa", "mcc"):
         s = get_scorer(name)
