@@ -88,14 +88,24 @@ def initialize_model(
 
     if model_path == "auto":
         name = _DEFAULT_CLF_CKPT if which == "classifier" else _DEFAULT_REG_CKPT
-        candidate = _cache_dir() / name
-        if not candidate.exists():
-            raise FileNotFoundError(
-                f"No checkpoint at {candidate}. Place the published {name} there "
-                f"(set TABPFN_MODEL_CACHE_DIR to override), pass model_path=..., or "
-                f"use model_path='random:<seed>' for an untrained model."
-            )
-        model_path = candidate
+        legacy = _cache_dir() / name  # pre-downloader cache location
+        if legacy.exists():
+            model_path = legacy
+        else:
+            # reference-compatible resolution + download chain
+            # (HF hub -> direct URL; see models/download.py)
+            from multimodalpfn_tpu.models.download import ensure_model
+
+            try:
+                model_path = ensure_model("auto", which)
+            except (RuntimeError, ValueError) as e:
+                raise FileNotFoundError(
+                    f"No checkpoint named {name} in the cache dir and download "
+                    f"failed (no egress?). Place the published {name} in "
+                    f"$TABPFN_MODEL_CACHE_DIR (or ~/.cache/tabpfn), pass "
+                    f"model_path=..., or use model_path='random:<seed>' for an "
+                    f"untrained model."
+                ) from e
 
     return load_model(
         model_path,

@@ -66,6 +66,11 @@ class ModelConfig:
     # fused Pallas flash kernel for the item-axis attention (TPU-only; the
     # estimator turns this on when running on an accelerator)
     use_flash: bool = False
+    # sequence parallelism: mesh axis name to ring-shard the item-attention KV
+    # (samples axis) across, for contexts beyond one chip's HBM. None = off.
+    # Requires running under jax.set_mesh(...) with this axis present and the
+    # train-row count divisible by the axis size.
+    seq_shard_axis: str | None = None
 
     @property
     def nhid(self) -> int:

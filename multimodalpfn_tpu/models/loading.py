@@ -26,22 +26,12 @@ from multimodalpfn_tpu.models.params import (
     export_torch_state_dict,
 )
 
-# Published checkpoint registry (reference `loading.py:46-87`); downloads are
-# environment-gated, so these serve as name validation + documentation.
-CLASSIFIER_V2_FILENAMES = [
-    "tabpfn-v2-classifier.ckpt",
-    "tabpfn-v2-classifier-gn2p4bpt.ckpt",
-    "tabpfn-v2-classifier-llderlii.ckpt",
-    "tabpfn-v2-classifier-od3j1g5m.ckpt",
-    "tabpfn-v2-classifier-vutqq28w.ckpt",
-    "tabpfn-v2-classifier-znskzxi4.ckpt",
-]
-REGRESSOR_V2_FILENAMES = [
-    "tabpfn-v2-regressor.ckpt",
-    "tabpfn-v2-regressor-09gpqh39.ckpt",
-    "tabpfn-v2-regressor-2noar4o2.ckpt",
-    "tabpfn-v2-regressor-5wof9ojf.ckpt",
-]
+# Published checkpoint registry — single source of truth lives with the
+# downloader chain (models/download.py, reference `loading.py:46-87`).
+from multimodalpfn_tpu.models.download import ModelSource  # noqa: E402
+
+CLASSIFIER_V2_FILENAMES = list(ModelSource.classifier_v2().filenames)
+REGRESSOR_V2_FILENAMES = list(ModelSource.regressor_v2().filenames)
 
 
 @dataclasses.dataclass

@@ -87,6 +87,7 @@ def encoder_layer(
         multiquery_test=cfg.multiquery_item_attention_for_test_set,
         compute_dtype=cd,
         use_flash=cfg.use_flash,
+        ring_axis=cfg.seq_shard_axis,
     )
     state = _layer_norm(state + jnp.swapaxes(h, 1, 2)).astype(cd)
     # --- MLP ---

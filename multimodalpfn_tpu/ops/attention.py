@@ -55,28 +55,48 @@ def mha(
     wv = w_qkv[2].astype(cd)
 
     if use_flash:
-        from multimodalpfn_tpu.ops.pallas_attention import flash_mha
+        # Native transposed layout for the Pallas kernel: d on sublanes, S on
+        # lanes (see pallas_attention module docstring). The projection einsums
+        # emit (..., d, s) directly so no transposes are ever materialized.
+        from multimodalpfn_tpu.ops.pallas_attention import flash_mha_t
 
         lead = x_q.shape[:-2]
         B = 1
         for n in lead:
             B *= n
         h = w_qkv.shape[1]
-        q = jnp.einsum(
-            "...si,hdi->...hsd", xq, wq, preferred_element_type=jnp.float32
-        ).reshape(B, h, x_q.shape[-2], d)
-        wk_eff = wk[:1] if kv_head0_only else wk
-        wv_eff = wv[:1] if kv_head0_only else wv
-        k = jnp.einsum(
-            "...si,hdi->...hsd", xkv, wk_eff, preferred_element_type=jnp.float32
-        ).reshape(B, wk_eff.shape[0], x_kv.shape[-2], d)
-        v = jnp.einsum(
-            "...si,hdi->...hsd", xkv, wv_eff, preferred_element_type=jnp.float32
-        ).reshape(B, wv_eff.shape[0], x_kv.shape[-2], d)
-        o = flash_mha(q.astype(cd), k.astype(cd), v.astype(cd), kv_head0_only)
-        o = o.reshape(*lead, h, x_q.shape[-2], d)
+        Sq, Skv = x_q.shape[-2], x_kv.shape[-2]
+        if kv_head0_only:
+            # multiquery: fold query heads into the lane (sequence) axis and
+            # attend against the single shared KV head
+            q3 = jnp.einsum(
+                "...si,hdi->...dhs", xq, wq, preferred_element_type=jnp.float32
+            ).astype(cd).reshape(B, d, h * Sq)
+            k3 = jnp.einsum(
+                "...si,di->...ds", xkv, wk[0], preferred_element_type=jnp.float32
+            ).astype(cd).reshape(B, d, Skv)
+            v3 = jnp.einsum(
+                "...si,di->...ds", xkv, wv[0], preferred_element_type=jnp.float32
+            ).astype(cd).reshape(B, d, Skv)
+            o = flash_mha_t(q3, k3, v3).reshape(*lead, d, h, Sq)
+            return jnp.einsum(
+                "...dhq,hdo->...qo",
+                o.astype(cd),
+                w_out.astype(cd),
+                preferred_element_type=jnp.float32,
+            )
+        q3 = jnp.einsum(
+            "...si,hdi->...hds", xq, wq, preferred_element_type=jnp.float32
+        ).astype(cd).reshape(B * h, d, Sq)
+        k3 = jnp.einsum(
+            "...si,hdi->...hds", xkv, wk, preferred_element_type=jnp.float32
+        ).astype(cd).reshape(B * h, d, Skv)
+        v3 = jnp.einsum(
+            "...si,hdi->...hds", xkv, wv, preferred_element_type=jnp.float32
+        ).astype(cd).reshape(B * h, d, Skv)
+        o = flash_mha_t(q3, k3, v3).reshape(*lead, h, d, Sq)
         return jnp.einsum(
-            "...hqd,hdo->...qo",
+            "...hdq,hdo->...qo",
             o.astype(cd),
             w_out.astype(cd),
             preferred_element_type=jnp.float32,
@@ -137,6 +157,71 @@ def self_attention(x, w_qkv, w_out, *, compute_dtype=jnp.float32):
     return mha(x, x, w_qkv, w_out, compute_dtype=compute_dtype)
 
 
+def _ring_mha(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    *,
+    ring_axis: str,
+    kv_head0_only: bool = False,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Sequence-parallel attention: KV ring-sharded over ``ring_axis`` of the
+    ambient mesh (jax.set_mesh), queries replicated — per-chip KV memory is
+    O(S/n). Projections stay in XLA (GSPMD shards them); only the attention
+    core runs in the shard_map ring (`parallel/ring_attention.py`).
+
+    For multiquery (reference ``reuse_first_head_kv``) the query heads fold
+    into extra query rows against the single shared KV head.
+    """
+    import math as _math
+
+    from multimodalpfn_tpu.parallel.ring_attention import ring_attention
+
+    cd = compute_dtype
+    d = w_qkv.shape[2]
+    h = w_qkv.shape[1]
+    lead = x_q.shape[:-2]
+    B = 1
+    for n in lead:
+        B *= n
+    Sq, Skv = x_q.shape[-2], x_kv.shape[-2]
+    xq = x_q.astype(cd)
+    xkv = x_kv.astype(cd)
+    wq, wk, wv = (w_qkv[i].astype(cd) for i in range(3))
+    if kv_head0_only:
+        q = jnp.einsum(
+            "...si,hdi->...hsd", xq, wq, preferred_element_type=jnp.float32
+        ).astype(cd).reshape(B, 1, h * Sq, d)
+        k = jnp.einsum(
+            "...si,di->...sd", xkv, wk[0], preferred_element_type=jnp.float32
+        ).astype(cd).reshape(B, 1, Skv, d)
+        v = jnp.einsum(
+            "...si,di->...sd", xkv, wv[0], preferred_element_type=jnp.float32
+        ).astype(cd).reshape(B, 1, Skv, d)
+        o = ring_attention(q, k, v, axis=ring_axis, sm_scale=1.0 / _math.sqrt(d))
+        o = o.reshape(*lead, h, Sq, d)
+    else:
+        q = jnp.einsum(
+            "...si,hdi->...hsd", xq, wq, preferred_element_type=jnp.float32
+        ).astype(cd).reshape(B, h, Sq, d)
+        k = jnp.einsum(
+            "...si,hdi->...hsd", xkv, wk, preferred_element_type=jnp.float32
+        ).astype(cd).reshape(B, h, Skv, d)
+        v = jnp.einsum(
+            "...si,hdi->...hsd", xkv, wv, preferred_element_type=jnp.float32
+        ).astype(cd).reshape(B, h, Skv, d)
+        o = ring_attention(q, k, v, axis=ring_axis, sm_scale=1.0 / _math.sqrt(d))
+        o = o.reshape(*lead, h, Sq, d)
+    return jnp.einsum(
+        "...hqd,hdo->...qo",
+        o.astype(cd),
+        w_out.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+
+
 @partial(jax.named_call, name="item_attention")
 def item_attention(
     x: jnp.ndarray,
@@ -147,6 +232,7 @@ def item_attention(
     multiquery_test: bool = True,
     compute_dtype=jnp.float32,
     use_flash: bool = False,
+    ring_axis: str | None = None,
 ) -> jnp.ndarray:
     """Two-block attention over the items/samples axis.
 
@@ -154,14 +240,31 @@ def item_attention(
     rows. Train rows self-attend (full KV heads); test rows attend to train rows
     only, sharing KV head 0 across query heads when ``multiquery_test``.
     Mirrors reference `layer.py:341-395`.
+
+    ``ring_axis``: sequence parallelism — ring-shard the train-row KV over this
+    mesh axis for contexts beyond one chip's HBM (cfg.seq_shard_axis).
     """
     sep = single_eval_pos
     train = x[..., :sep, :]
     test = x[..., sep:, :]
-    # Trace-time dispatch: the fused kernel wins when the XLA path's materialized
-    # (B, h, S_q, S_kv) scores get large (and OOM by ~8k rows); below that XLA's
-    # own fusion is on par (measured on v5e: 34ms XLA vs 43ms flash at S=1838).
-    use_flash = use_flash and sep >= 2048
+    if ring_axis is not None:
+        out_train = _ring_mha(
+            train, train, w_qkv, w_out, ring_axis=ring_axis,
+            compute_dtype=compute_dtype,
+        )
+        if test.shape[-2] == 0:
+            return out_train
+        out_test = _ring_mha(
+            test, train, w_qkv, w_out, ring_axis=ring_axis,
+            kv_head0_only=multiquery_test, compute_dtype=compute_dtype,
+        )
+        return jnp.concatenate([out_train, out_test], axis=-2)
+    # Trace-time dispatch: the fused transposed-layout kernel beats the XLA path
+    # at every measured context (v5e, latency-corrected: 5.8ms vs 6.3ms at the
+    # S=1838 headline; 1.0ms vs 1.6ms at S=512; ~4x on fwd+bwd) and never
+    # materializes scores (XLA OOMs by ~8k rows). Below 512 rows both are
+    # microseconds; keep XLA there to avoid tiny-shape padding waste.
+    use_flash = use_flash and sep >= 512
     out_train = mha(
         train, train, w_qkv, w_out, compute_dtype=compute_dtype, use_flash=use_flash
     )

@@ -1,26 +1,46 @@
-"""Fused flash attention (Pallas TPU) for the item/samples axis.
+"""Fused flash attention (Pallas TPU) for the item/samples axis — fwd + bwd.
 
 This is the hot loop of the whole framework (SURVEY.md §3.2b): per layer the item
 attention runs over batch = members × feature-tokens with sequence = samples
 (thousands). The XLA einsum path materializes the (B, h, S_q, S_kv) score tensor —
-gigabytes at PAD-UFES scale — making it HBM-bound; this kernel never materializes
-scores (classic online-softmax tiling, cf. the reference's optional flash-attn
-import `multi_head_attention.py:14-23`, re-designed for TPU/Mosaic).
+gigabytes at PAD-UFES scale; this kernel never materializes scores (cf. the
+reference's optional flash-attn import `multi_head_attention.py:14-23`,
+re-designed for TPU/Mosaic).
 
-Specifics for this model:
-  * non-causal, cross-attention (queries = all rows, keys/values = train rows);
-  * multiquery mode for test rows (KV head 0 shared across query heads,
-    reference `multi_head_attention.py:438-445`) implemented by an index-map that
-    pins the KV head — the single KV head is fetched once, not broadcast 6×;
-  * head_dim is 32 (emsize 192 / 6 heads): blocks keep the last dim at head_dim
-    and rely on Mosaic lane padding; q/kv tiles are sized so the score tile does
-    the MXU work;
-  * arbitrary (non-multiple-of-block) kv lengths handled by padding + key mask
-    from a static length threshold.
+Design (TPU-first, measured on v5e):
 
-Training-time gradients: `flash_mha` wraps the kernel in `jax.custom_vjp` whose
-backward recomputes attention with the XLA einsum path (fine under `jax.checkpoint`
-at TabPFN scales); inference uses the kernel directly.
+  * **Transposed layout: (G, d, S) — d on sublanes, S on lanes.** head_dim here
+    is 32 (emsize 192 / 6 heads). In the conventional (S, d) layout every
+    q/k/v/o tile is a (block, 32) sliver: Mosaic pads the 32 lanes to 128
+    (4× VMEM waste) and HBM rows are 64 B (DMA-transaction collapse) — measured
+    as a pure-copy kernel costing more than the whole XLA attention. Transposed,
+    every tile is a dense (32, ≥128) block, HBM rows are ≥512 B, and the score
+    contraction k_cᵀ·q is the MXU-native lhsT form.
+  * **Row-form softmax stats.** Scores are computed kv-major, s_t (ckv, bq), so
+    max/sum reduce over *sublanes* and m/l/lse/delta are (1, block_q) row
+    vectors — they broadcast against every tile in fwd AND bwd with zero
+    relayouts/transposes anywhere.
+  * **Flat G axis.** Batch and heads fold into one leading axis outside the
+    kernel. The FULL key/value sequence lives in VMEM per grid cell (≤128 KB
+    bf16 at the model's official 10k-sample limit, reference
+    `constants.py:160-173`), fetched from HBM once per g.
+  * **Multiquery = fold heads into query lanes.** For test rows the reference
+    shares KV head 0 across all query heads (``reuse_first_head_kv``,
+    `multi_head_attention.py:438-445`). Instead of broadcasting KV 6×, q
+    becomes (B, d, h·Sq) against the single KV; in the backward the dK/dV
+    sum-over-query-heads (GQA gradient) falls out of the matmuls for free.
+  * **Python-unrolled chunk loops** with online-softmax loop carries (no VMEM
+    scratch); the padded-tail mask is emitted only for the one statically-known
+    partial chunk, and the first chunk skips the rescale (alpha) path.
+  * **Fused backward, no masks.** Zero-padding q/do/k/v and lse/delta makes
+    every padded contribution vanish algebraically (pad-k columns are zero so
+    dq ignores garbage score columns; pad-q columns have do = 0 so dk/dv
+    ignore them). dq: grid over q blocks, stream KV chunks. dkv: grid over
+    kv blocks, stream Q chunks.
+
+Gradient flow: ``flash_mha_t`` is a ``jax.custom_vjp`` whose backward runs the
+fused dq/dkv kernels — gradients never materialize (S_q, S_kv), so fine-tuning
+at the 10k-row limit fits on one chip.
 """
 
 from __future__ import annotations
@@ -34,262 +54,430 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
+# Swept on v5e at the PAD-UFES headline shape (G=552, S=1838, d=32):
+# 2048/512 = 5.76ms vs XLA fused attention 6.29ms (block_q=whole padded Sq;
+# 256/1024 = 10.9ms, 512/1024 = 6.7ms, 1024/1024 = 6.4ms).
+DEFAULT_BLOCK_Q = 2048
 DEFAULT_BLOCK_KV = 512
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 LANES = 128
 
 
-def _attn_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
-    sm_scale: float,
-    kv_len: int,
-    block_kv: int,
-    n_kv_blocks: int,
-):
-    ki = pl.program_id(3)
-
-    @pl.when(ki == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0, 0]  # (block_q, d)
-    k = k_ref[0, 0]  # (block_kv, d)
-    v = v_ref[0, 0]
-
-    s = jax.lax.dot_general(
-        q,
-        k,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, block_kv)
-    s = s * sm_scale
-
-    # mask padded keys (static threshold; only the last block can be partial)
-    first_masked = kv_len - ki * block_kv
-    if True:  # static shapes: emit the mask only when this block can overflow
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < first_masked, s, MASK_VALUE)
-
-    m_prev = m_scr[...]  # (block_q, LANES) broadcast storage
-    l_prev = l_scr[...]
-    m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
-    m_next = jnp.maximum(m_prev, m_curr)  # (block_q, LANES)
-    alpha = jnp.exp(m_prev[:, :1] - m_next[:, :1])  # (block_q, 1)
-    p = jnp.exp(s - m_next[:, :1])
-    l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-
-    m_scr[...] = jnp.broadcast_to(m_next[:, :1], m_scr.shape)
-    l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
-
-    pv = jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )  # (block_q, d)
-    acc_scr[...] = acc_scr[...] * alpha + pv
-
-    @pl.when(ki == n_kv_blocks - 1)
-    def _store():
-        l_fin = l_scr[...][:, :1]
-        l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
-def _attn_kernel_heads(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
-    sm_scale: float,
-    kv_len: int,
-    block_kv: int,
-    n_kv_blocks: int,
-    n_heads: int,
-    kv_head0_only: bool,
-):
-    """Head-folded variant: one grid cell covers ALL heads of a (q, kv) block pair.
-
-    Measured on v5e @ (B=92, h=6, S=1838, d=32) bf16: 51.6ms vs the flat kernel's
-    43ms (256/512 blocks); 512/1024 blocks exceed the 16MB VMEM scratch budget.
-    Conclusion: grid-cell overhead is NOT the limiter — the d=32 contraction/output
-    geometry underutilizes the 128-wide MXU either way. Kept as an engineering
-    record + for shapes with many more heads; the flat `flash_mha` is the
-    production path."""
-    ki = pl.program_id(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    first_masked = kv_len - ki * block_kv
-    for hh in range(n_heads):  # static unroll
-        q = q_ref[0, hh]  # (block_q, d)
-        kv_h = 0 if kv_head0_only else hh
-        k = k_ref[0, kv_h]
-        v = v_ref[0, kv_h]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < first_masked, s, MASK_VALUE)
-
-        m_prev = m_scr[hh]
-        l_prev = l_scr[hh]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev[:, :1], m_curr)
-        alpha = jnp.exp(m_prev[:, :1] - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l_prev[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[hh] = jnp.broadcast_to(m_next, m_scr.shape[1:])
-        l_scr[hh] = jnp.broadcast_to(l_next, l_scr.shape[1:])
-        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        acc_scr[hh] = acc_scr[hh] * alpha + pv
-
-    @pl.when(ki == n_kv_blocks - 1)
-    def _store():
-        for hh in range(n_heads):
-            l_fin = l_scr[hh][:, :1]
-            l_inv = jnp.where(l_fin == 0.0, 1.0, 1.0 / l_fin)
-            o_ref[0, hh] = (acc_scr[hh] * l_inv).astype(o_ref.dtype)
-
-
-def _flash_forward_heads(
-    q, k, v, *, kv_head0_only, sm_scale, block_q, block_kv
-) -> jnp.ndarray:
-    B, h, Sq, d = q.shape
-    kv_len = k.shape[2]
-    block_q = min(block_q, max(LANES, 1 << (Sq - 1).bit_length()))
-    block_kv = min(block_kv, max(LANES, 1 << (kv_len - 1).bit_length()))
-    qp = _pad_to(q, 2, block_q)
-    kp = _pad_to(k, 2, block_kv)
-    vp = _pad_to(v, 2, block_kv)
-    n_q_blocks = qp.shape[2] // block_q
-    n_kv_blocks = kp.shape[2] // block_kv
-    h_kv = k.shape[1]
-
-    kernel = functools.partial(
-        _attn_kernel_heads,
-        sm_scale=sm_scale,
-        kv_len=kv_len,
-        block_kv=block_kv,
-        n_kv_blocks=n_kv_blocks,
-        n_heads=h,
-        kv_head0_only=kv_head0_only,
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(B, n_q_blocks, n_kv_blocks),
-            in_specs=[
-                pl.BlockSpec((1, h, block_q, d), lambda b, qi, ki: (b, 0, qi, 0)),
-                pl.BlockSpec((1, h_kv, block_kv, d), lambda b, qi, ki: (b, 0, ki, 0)),
-                pl.BlockSpec((1, h_kv, block_kv, d), lambda b, qi, ki: (b, 0, ki, 0)),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, h, block_q, d), lambda b, qi, ki: (b, 0, qi, 0)
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((h, block_q, LANES), jnp.float32),
-                pltpu.VMEM((h, block_q, LANES), jnp.float32),
-                pltpu.VMEM((h, block_q, d), jnp.float32),
-            ],
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(qp, kp, vp)
-    return out[:, :, :Sq]
-
-
-def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
-    pad = (-x.shape[axis]) % multiple
+def _pad_lanes(x: jnp.ndarray, to: int) -> jnp.ndarray:
+    pad = to - x.shape[-1]
     if pad == 0:
         return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
     return jnp.pad(x, widths)
 
 
-def _flash_forward(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+# Above this many chunks, the chunk loop is a lax.fori_loop instead of a python
+# unroll: Mosaic stack-allocates each unrolled iteration's score tile separately
+# (measured: 18 unrolled 4MB tiles -> 65MB scoped-VMEM OOM at S=9k), while the
+# rolled loop reuses one.
+UNROLL_LIMIT = 8
+
+
+def _fwd_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
     *,
-    kv_head0_only: bool,
     sm_scale: float,
-    block_q: int,
-    block_kv: int,
-) -> jnp.ndarray:
-    """q: (B, h, Sq, d); k/v: (B, h_kv, Skv, d). Returns (B, h, Sq, d) fp32."""
-    B, h, Sq, d = q.shape
-    kv_len = k.shape[2]
-    block_q = min(block_q, max(LANES, 1 << (Sq - 1).bit_length()))
-    block_kv = min(block_kv, max(LANES, 1 << (kv_len - 1).bit_length()))
+    kv_len: int,
+    chunk: int,
+    n_chunks: int,
+):
+    q = q_ref[0]  # (d, block_q)
+    d, block_q = q.shape
 
-    qp = _pad_to(q, 2, block_q)
-    kp = _pad_to(k, 2, block_kv)
-    vp = _pad_to(v, 2, block_kv)
-    n_q_blocks = qp.shape[2] // block_q
-    n_kv_blocks = kp.shape[2] // block_kv
+    def process(ci, lo, carry, masked):
+        """One KV chunk; lo is the chunk start (static under unroll, traced
+        under fori). `masked` is static: only the one partial tail chunk pays
+        the iota mask. K/V stay resident in VMEM."""
+        m, l, acc = carry
+        k = k_ref[0, :, pl.ds(lo, chunk)]  # (d, chunk)
+        v = v_ref[0, :, pl.ds(lo, chunk)]
+        s = jax.lax.dot_general(
+            k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (chunk, block_q) — kv on sublanes, q on lanes
+        s = s * sm_scale
+        if masked:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            s = jnp.where(row + lo < kv_len, s, MASK_VALUE)
+        m_c = jnp.max(s, axis=0, keepdims=True)  # (1, block_q)
+        if ci == 0:  # static: first chunk skips the rescale path
+            m_n = m_c
+            p = jnp.exp(s - m_n)
+            l_n = jnp.sum(p, axis=0, keepdims=True)
+            acc_n = jax.lax.dot_general(
+                v,
+                p.astype(v.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d, block_q)
+        else:
+            m_n = jnp.maximum(m, m_c)
+            alpha = jnp.exp(m - m_n)  # (1, block_q)
+            p = jnp.exp(s - m_n)
+            l_n = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+            acc_n = acc * alpha + jax.lax.dot_general(
+                v,
+                p.astype(v.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return m_n, l_n, acc_n
 
-    kv_head = (lambda hh: 0) if kv_head0_only else (lambda hh: hh)
+    n_full = min(kv_len // chunk, n_chunks)  # full chunks need no mask
+    carry = (None, None, None)
+    if n_full <= UNROLL_LIMIT:
+        for ci in range(n_full):
+            carry = process(ci, ci * chunk, carry, masked=False)
+    else:
+        carry = process(0, 0, carry, masked=False)
+        carry = jax.lax.fori_loop(
+            1,
+            n_full,
+            lambda i, c: process(1, pl.multiple_of(i * chunk, LANES), c, False),
+            carry,
+        )
+    if n_full < n_chunks:  # one statically-known partial tail chunk
+        carry = process(n_full, n_full * chunk, carry, masked=True)
+    m, l, acc = carry
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _fwd_impl(q3, k3, v3, *, sm_scale, block_q, block_kv):
+    """q3: (G, d, Sq); k3/v3: (G, d, Skv). Returns (o (G,d,Sq) f32, lse (G,1,Sq))."""
+    G, d, Sq = q3.shape
+    kv_len = k3.shape[2]
+    block_q = min(block_q, _round_up(Sq, LANES))
+    chunk = min(block_kv, _round_up(kv_len, LANES))
+    skv_pad = _round_up(kv_len, chunk)
+    sq_pad = _round_up(Sq, block_q)
+
+    qp = _pad_lanes(q3, sq_pad)
+    kp = _pad_lanes(k3, skv_pad)
+    vp = _pad_lanes(v3, skv_pad)
+    n_q_blocks = sq_pad // block_q
+    n_chunks = skv_pad // chunk
 
     kernel = functools.partial(
-        _attn_kernel,
+        _fwd_kernel,
         sm_scale=sm_scale,
         kv_len=kv_len,
-        block_kv=block_kv,
-        n_kv_blocks=n_kv_blocks,
+        chunk=chunk,
+        n_chunks=n_chunks,
     )
-    out = pl.pallas_call(
+    o, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(qp.shape, jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(B, h, n_q_blocks, n_kv_blocks),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, d, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((G, 1, sq_pad), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(G, n_q_blocks),
             in_specs=[
-                pl.BlockSpec(
-                    (1, 1, block_q, d), lambda b, hh, qi, ki: (b, hh, qi, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_kv, d),
-                    lambda b, hh, qi, ki, _kvh=kv_head: (b, _kvh(hh), ki, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_kv, d),
-                    lambda b, hh, qi, ki, _kvh=kv_head: (b, _kvh(hh), ki, 0),
-                ),
+                pl.BlockSpec((1, d, block_q), lambda g, qi: (g, 0, qi)),
+                pl.BlockSpec((1, d, skv_pad), lambda g, qi: (g, 0, 0)),
+                pl.BlockSpec((1, d, skv_pad), lambda g, qi: (g, 0, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, 1, block_q, d), lambda b, hh, qi, ki: (b, hh, qi, 0)
+            out_specs=(
+                pl.BlockSpec((1, d, block_q), lambda g, qi: (g, 0, qi)),
+                pl.BlockSpec((1, 1, block_q), lambda g, qi: (g, 0, qi)),
             ),
-            scratch_shapes=[
-                pltpu.VMEM((block_q, LANES), jnp.float32),
-                pltpu.VMEM((block_q, LANES), jnp.float32),
-                pltpu.VMEM((block_q, d), jnp.float32),
-            ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel"),
         ),
     )(qp, kp, vp)
-    return out[:, :, :Sq]
+    return o[..., :Sq], lse[..., :Sq]
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    dq_ref,
+    *,
+    sm_scale: float,
+    chunk: int,
+    n_chunks: int,
+):
+    q = q_ref[0]  # (d, block_q)
+    do = do_ref[0]
+    lse = lse_ref[0]  # (1, block_q)
+    delta = delta_ref[0]
+
+    def process(lo, dq):
+        k = k_ref[0, :, pl.ds(lo, chunk)]  # (d, chunk)
+        v = v_ref[0, :, pl.ds(lo, chunk)]
+        s = jax.lax.dot_general(
+            k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (chunk, block_q)
+        p = jnp.exp(s * sm_scale - lse)  # zero-padded k cols die against k below
+        dp = jax.lax.dot_general(
+            v, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (chunk, block_q)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            k,
+            ds.astype(k.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, block_q)
+
+    dq = jnp.zeros(q.shape, jnp.float32)
+    if n_chunks <= UNROLL_LIMIT:
+        for ci in range(n_chunks):
+            dq = process(ci * chunk, dq)
+    else:
+        dq = jax.lax.fori_loop(
+            0,
+            n_chunks,
+            lambda i, c: process(pl.multiple_of(i * chunk, LANES), c),
+            dq,
+        )
+    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    k_ref,
+    v_ref,
+    q_ref,
+    do_ref,
+    lse_ref,
+    delta_ref,
+    dk_ref,
+    dv_ref,
+    *,
+    sm_scale: float,
+    chunk: int,
+    n_chunks: int,
+):
+    k = k_ref[0]  # (d, block_kv)
+    v = v_ref[0]
+
+    def process(lo, carry):
+        dk, dv = carry
+        q_c = q_ref[0, :, pl.ds(lo, chunk)]  # (d, chunk)
+        do_c = do_ref[0, :, pl.ds(lo, chunk)]
+        lse_c = lse_ref[0, :, pl.ds(lo, chunk)]  # (1, chunk)
+        delta_c = delta_ref[0, :, pl.ds(lo, chunk)]
+        s_t = jax.lax.dot_general(
+            k, q_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_kv, chunk)
+        p_t = jnp.exp(s_t * sm_scale - lse_c)  # padded q lanes have do = 0
+        dv = dv + jax.lax.dot_general(
+            do_c,
+            p_t.astype(do_c.dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, block_kv)
+        dp_t = jax.lax.dot_general(
+            v, do_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_kv, chunk)
+        ds_t = p_t * (dp_t - delta_c)
+        dk = dk + jax.lax.dot_general(
+            q_c,
+            ds_t.astype(q_c.dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, block_kv)
+        return dk, dv
+
+    carry = (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
+    if n_chunks <= UNROLL_LIMIT:
+        for ci in range(n_chunks):
+            carry = process(ci * chunk, carry)
+    else:
+        carry = jax.lax.fori_loop(
+            0,
+            n_chunks,
+            lambda i, c: process(pl.multiple_of(i * chunk, LANES), c),
+            carry,
+        )
+    dk, dv = carry
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_impl(q3, k3, v3, o3, lse, do3, *, sm_scale, block_q, block_kv):
+    """All rank-3 (G, d, S); lse (G, 1, Sq). Returns dq, dk, dv (input dtypes)."""
+    G, d, Sq = q3.shape
+    kv_len = k3.shape[2]
+    # delta_i = sum_d do_i * o_i — tiny (G, 1, Sq) row tensor, computed in XLA
+    delta = jnp.sum(do3.astype(jnp.float32) * o3, axis=1, keepdims=True)
+    do3 = do3.astype(q3.dtype)
+
+    # --- dq: grid over (g, q-block), stream KV chunks ---
+    block_q_g = min(block_q, _round_up(Sq, LANES))
+    chunk_kv = min(block_kv, _round_up(kv_len, LANES))
+    sq_pad = _round_up(Sq, block_q_g)
+    skv_pad = _round_up(kv_len, chunk_kv)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, sm_scale=sm_scale, chunk=chunk_kv,
+            n_chunks=skv_pad // chunk_kv,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, d, sq_pad), q3.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(G, sq_pad // block_q_g),
+            in_specs=[
+                pl.BlockSpec((1, d, block_q_g), lambda g, qi: (g, 0, qi)),
+                pl.BlockSpec((1, d, skv_pad), lambda g, qi: (g, 0, 0)),
+                pl.BlockSpec((1, d, skv_pad), lambda g, qi: (g, 0, 0)),
+                pl.BlockSpec((1, d, block_q_g), lambda g, qi: (g, 0, qi)),
+                pl.BlockSpec((1, 1, block_q_g), lambda g, qi: (g, 0, qi)),
+                pl.BlockSpec((1, 1, block_q_g), lambda g, qi: (g, 0, qi)),
+            ],
+            out_specs=pl.BlockSpec((1, d, block_q_g), lambda g, qi: (g, 0, qi)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(
+        _pad_lanes(q3, sq_pad),
+        _pad_lanes(k3, skv_pad),
+        _pad_lanes(v3, skv_pad),
+        _pad_lanes(do3, sq_pad),
+        _pad_lanes(lse, sq_pad),
+        _pad_lanes(delta, sq_pad),
+    )[..., :Sq]
+
+    # --- dk/dv: grid over (g, kv-block), stream Q chunks ---
+    block_kv_g = min(512, _round_up(kv_len, LANES))
+    chunk_q = min(block_kv, _round_up(Sq, LANES))
+    skv_pad2 = _round_up(kv_len, block_kv_g)
+    sq_pad2 = _round_up(Sq, chunk_q)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, sm_scale=sm_scale, chunk=chunk_q,
+            n_chunks=sq_pad2 // chunk_q,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G, d, skv_pad2), k3.dtype),
+            jax.ShapeDtypeStruct((G, d, skv_pad2), v3.dtype),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(G, skv_pad2 // block_kv_g),
+            in_specs=[
+                pl.BlockSpec((1, d, block_kv_g), lambda g, ki: (g, 0, ki)),
+                pl.BlockSpec((1, d, block_kv_g), lambda g, ki: (g, 0, ki)),
+                pl.BlockSpec((1, d, sq_pad2), lambda g, ki: (g, 0, 0)),
+                pl.BlockSpec((1, d, sq_pad2), lambda g, ki: (g, 0, 0)),
+                pl.BlockSpec((1, 1, sq_pad2), lambda g, ki: (g, 0, 0)),
+                pl.BlockSpec((1, 1, sq_pad2), lambda g, ki: (g, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, d, block_kv_g), lambda g, ki: (g, 0, ki)),
+                pl.BlockSpec((1, d, block_kv_g), lambda g, ki: (g, 0, ki)),
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(
+        _pad_lanes(k3, skv_pad2),
+        _pad_lanes(v3, skv_pad2),
+        _pad_lanes(q3, sq_pad2),
+        _pad_lanes(do3, sq_pad2),
+        _pad_lanes(lse, sq_pad2),
+        _pad_lanes(delta, sq_pad2),
+    )
+    return dq, dk[..., :kv_len], dv[..., :kv_len]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_mha_t(
+    q,
+    k,
+    v,
+    sm_scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_kv: int = DEFAULT_BLOCK_KV,
+):
+    """Fused attention in the TPU-native transposed layout.
+
+    q: (G, d, Sq); k, v: (G, d, Skv) — G is any flattened batch×head axis (for
+    multiquery, fold the query heads into Sq). Returns fp32 (G, d, Sq).
+    """
+    scale = 1.0 / math.sqrt(q.shape[1]) if sm_scale is None else sm_scale
+    o, _ = _fwd_impl(q, k, v, sm_scale=scale, block_q=block_q, block_kv=block_kv)
+    return o
+
+
+def _fwd_t(q, k, v, sm_scale, block_q, block_kv):
+    scale = 1.0 / math.sqrt(q.shape[1]) if sm_scale is None else sm_scale
+    o, lse = _fwd_impl(q, k, v, sm_scale=scale, block_q=block_q, block_kv=block_kv)
+    return o, (q, k, v, o, lse)
+
+
+def _bwd_t(sm_scale, block_q, block_kv, res, g):
+    q, k, v, o, lse = res
+    scale = 1.0 / math.sqrt(q.shape[1]) if sm_scale is None else sm_scale
+    return _bwd_impl(
+        q, k, v, o, lse, g, sm_scale=scale, block_q=block_q, block_kv=block_kv
+    )
+
+
+flash_mha_t.defvjp(_fwd_t, _bwd_t)
+
+
+def flash_mha(
+    q,
+    k,
+    v,
+    kv_head0_only: bool = False,
+    sm_scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_kv: int = DEFAULT_BLOCK_KV,
+):
+    """Conventional-layout wrapper over ``flash_mha_t``.
+
+    q: (B, h, Sq, d); k, v: (B, h_kv, Skv, d) with h_kv == h, or h_kv == 1 when
+    ``kv_head0_only`` (multiquery). Returns fp32 (B, h, Sq, d). Prefer calling
+    ``flash_mha_t`` with natively-transposed operands (the projection einsums
+    can emit (…, d, S) for free); this wrapper pays XLA transposes.
+    """
+    B, h, Sq, d = q.shape
+    if kv_head0_only:
+        q3 = jnp.moveaxis(q, 3, 1).reshape(B, d, h * Sq)  # heads -> query lanes
+        k3 = jnp.moveaxis(k, 3, 1).reshape(B, d, -1)
+        v3 = jnp.moveaxis(v, 3, 1).reshape(B, d, -1)
+        o3 = flash_mha_t(q3, k3, v3, sm_scale, block_q, block_kv)
+        return jnp.moveaxis(o3.reshape(B, d, h, Sq), 1, 3)
+    q3 = jnp.swapaxes(q, 2, 3).reshape(B * h, d, Sq)
+    k3 = jnp.swapaxes(k, 2, 3).reshape(B * h, d, -1)
+    v3 = jnp.swapaxes(v, 2, 3).reshape(B * h, d, -1)
+    o3 = flash_mha_t(q3, k3, v3, sm_scale, block_q, block_kv)
+    return jnp.swapaxes(o3.reshape(B, h, d, Sq), 2, 3)
 
 
 def _xla_reference(q, k, v, *, kv_head0_only, sm_scale):
@@ -304,49 +492,3 @@ def _xla_reference(q, k, v, *, kv_head0_only, sm_scale):
     return jnp.einsum(
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
-
-
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
-)
-def flash_mha(
-    q,
-    k,
-    v,
-    kv_head0_only: bool = False,
-    sm_scale: float | None = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_kv: int = DEFAULT_BLOCK_KV,
-):
-    """Fused attention over projected heads.
-
-    q: (B, h, Sq, d); k, v: (B, h_kv, Skv, d) with h_kv == h, or h_kv == 1 when
-    ``kv_head0_only`` (multiquery). Returns fp32 (B, h, Sq, d).
-    """
-    scale = 1.0 / math.sqrt(q.shape[-1]) if sm_scale is None else sm_scale
-    return _flash_forward(
-        q, k, v, kv_head0_only=kv_head0_only, sm_scale=scale,
-        block_q=block_q, block_kv=block_kv,
-    )
-
-
-def _fwd(q, k, v, kv_head0_only, sm_scale, block_q, block_kv):
-    out = flash_mha(q, k, v, kv_head0_only, sm_scale, block_q, block_kv)
-    return out, (q, k, v)
-
-
-def _bwd(kv_head0_only, sm_scale, block_q, block_kv, res, g):
-    q, k, v = res
-    scale = 1.0 / math.sqrt(q.shape[-1]) if sm_scale is None else sm_scale
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_reference(
-            q_, k_, v_, kv_head0_only=kv_head0_only, sm_scale=scale
-        ),
-        q,
-        k,
-        v,
-    )
-    return vjp(g)
-
-
-flash_mha.defvjp(_fwd, _bwd)

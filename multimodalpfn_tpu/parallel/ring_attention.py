@@ -22,6 +22,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 
+
+def _axis_size(mesh: Mesh | None, axis: str) -> int:
+    """Axis size from the given mesh, or from the ambient mesh (jax.set_mesh)."""
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+        if axis not in (mesh.axis_names or ()):
+            raise ValueError(
+                f"ring_attention: no mesh given and ambient mesh {mesh} has no "
+                f"axis {axis!r}; wrap the call in jax.set_mesh(...)"
+            )
+    return mesh.shape[axis]
+
+
 def _block_attention(q, k, v, sm_scale):
     """Unnormalized block contribution + stats. q: (B,h,Sq,d); k/v: (B,h,Skv,d)."""
     s = (
@@ -42,17 +55,18 @@ def ring_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
-    mesh: Mesh,
+    mesh: Mesh | None = None,
     axis: str = "dp",
     sm_scale: float | None = None,
 ) -> jnp.ndarray:
     """Non-causal attention with K/V sharded on `axis` along the sequence dim.
 
     q: (B, h, Sq, d) replicated; k, v: (B, h, Skv, d) — Skv must divide by the
-    axis size. Returns (B, h, Sq, d) fp32, replicated.
+    axis size. Returns (B, h, Sq, d) fp32, replicated. ``mesh=None`` uses the
+    ambient mesh (jax.set_mesh), so this composes with jitted callers.
     """
     scale = 1.0 / math.sqrt(q.shape[-1]) if sm_scale is None else sm_scale
-    n = mesh.shape[axis]
+    n = _axis_size(mesh, axis)
 
     def inner(q_loc, k_loc, v_loc):
         def step(i, carry):
@@ -71,9 +85,13 @@ def ring_attention(
         B, h, Sq, d = q_loc.shape
         # stats vary across the ring axis from step 1 on; mark them varying up
         # front so the fori_loop carry type is stable under shard_map
-        m0 = jax.lax.pvary(jnp.full((B, h, Sq), -jnp.inf, jnp.float32), (axis,))
-        l0 = jax.lax.pvary(jnp.zeros((B, h, Sq), jnp.float32), (axis,))
-        a0 = jax.lax.pvary(jnp.zeros((B, h, Sq, d), jnp.float32), (axis,))
+        m0 = jax.lax.pcast(
+            jnp.full((B, h, Sq), -jnp.inf, jnp.float32), axis, to="varying"
+        )
+        l0 = jax.lax.pcast(jnp.zeros((B, h, Sq), jnp.float32), axis, to="varying")
+        a0 = jax.lax.pcast(
+            jnp.zeros((B, h, Sq, d), jnp.float32), axis, to="varying"
+        )
         _, _, m, l, acc = jax.lax.fori_loop(
             0, n, step, (k_loc, v_loc, m0, l0, a0)
         )
@@ -92,14 +110,14 @@ def ring_attention_sharded_queries(
     k: jnp.ndarray,
     v: jnp.ndarray,
     *,
-    mesh: Mesh,
+    mesh: Mesh | None = None,
     axis: str = "dp",
     sm_scale: float | None = None,
 ) -> jnp.ndarray:
     """Variant with queries ALSO sharded on the sequence axis (full sequence
     parallelism: per-chip memory O(S/n) for q, k, v, and output)."""
     scale = 1.0 / math.sqrt(q.shape[-1]) if sm_scale is None else sm_scale
-    n = mesh.shape[axis]
+    n = _axis_size(mesh, axis)
 
     def inner(q_loc, k_loc, v_loc):
         def step(i, carry):
@@ -120,9 +138,13 @@ def ring_attention_sharded_queries(
             )
 
         B, h, Sq, d = q_loc.shape
-        m0 = jax.lax.pvary(jnp.full((B, h, Sq), -jnp.inf, jnp.float32), (axis,))
-        l0 = jax.lax.pvary(jnp.zeros((B, h, Sq), jnp.float32), (axis,))
-        a0 = jax.lax.pvary(jnp.zeros((B, h, Sq, d), jnp.float32), (axis,))
+        m0 = jax.lax.pcast(
+            jnp.full((B, h, Sq), -jnp.inf, jnp.float32), axis, to="varying"
+        )
+        l0 = jax.lax.pcast(jnp.zeros((B, h, Sq), jnp.float32), axis, to="varying")
+        a0 = jax.lax.pcast(
+            jnp.zeros((B, h, Sq, d), jnp.float32), axis, to="varying"
+        )
         _, _, m, l, acc = jax.lax.fori_loop(0, n, step, (k_loc, v_loc, m0, l0, a0))
         return acc / l[..., None]
 

@@ -257,10 +257,14 @@ def fine_tune_mmpfn(
         "val_error": [],
         "best_val_error": best_err,
         "steps": 0,
+        # wall-clock per loop iteration (step + validation + snapshotting);
+        # entry 0 includes compilation — use the tail for steady-state rates
+        "step_seconds": [],
     }
     key = jax.random.PRNGKey(random_seed)
 
     for step_i in range(start_step + 1, int(cfg_hp["max_steps"]) + 1):
+        t_iter = time.time()
         if time.time() - st_time > time_limit:
             logger.info("time limit reached at step %d", step_i)
             break
@@ -290,8 +294,10 @@ def fine_tune_mmpfn(
                 save_snapshot(p_eval)
             stop = es.update(cur_round=step_i, is_best=is_best)
             if use_early_stopping and stop:
+                history["step_seconds"].append(time.time() - t_iter)
                 logger.info("early stopping at step %d", step_i)
                 break
+        history["step_seconds"].append(time.time() - t_iter)
 
     if pbar is not None:
         pbar.close()

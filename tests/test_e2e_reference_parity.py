@@ -257,3 +257,83 @@ def test_multimodal_classifier_matches_reference(tmp_path):
     ours.fit(Xtr, emb[:45], ytr)
     got = ours.predict_proba(Xte, emb[45:])
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_full_published_architecture_matches_reference(tmp_path):
+    """PUBLISHED-SHAPE e2e parity: 12 layers / emsize 192 / nhead 6 / nhid 768 /
+    features_per_group 2 / n_estimators 4 / MGM+CAP mixers — the exact config of
+    the shipped tabpfn-v2 checkpoints (reference `model/config.py:25-50`,
+    `loading.py:492-496`), on shared random weights. Catches scale-dependent
+    bugs (bf16 accumulation policy, subspace-noise table size) that the tiny
+    2-layer fixtures cannot."""
+    _shim_sklearn_compat()
+    from tools.gen_golden import build_reference_model
+
+    from mmpfn.models.mmpfn.classifier import MMPFNClassifier as RefClf
+    from mmpfn.models.mmpfn.constants import ModelInterfaceConfig as RefMIC
+    from mmpfn.models.mmpfn.preprocessing import PreprocessorConfig as RefPC
+
+    from multimodalpfn_tpu import MMPFNClassifier
+    from multimodalpfn_tpu.estimator.interface_config import ModelInterfaceConfig
+    from multimodalpfn_tpu.models.config import ModelConfig
+    from multimodalpfn_tpu.models.loading import model_config_to_ckpt_config
+    from multimodalpfn_tpu.preprocess.ensemble import PreprocessorConfig
+
+    model = build_reference_model(
+        seed=11, nlayers=12, emsize=192, nhead=6, nhid=768, features_per_group=2,
+        max_num_classes=10, n_out=10, mixer_type="MGM+CAP", mgm_heads=4, cap_heads=2,
+    )
+    cfg = ModelConfig(
+        emsize=192, nhead=6, nhid_factor=4, nlayers=12, features_per_group=2,
+        n_out=10,
+    )
+    path = tmp_path / "published_shape.ckpt"
+    torch.save(
+        {"state_dict": model.state_dict(), "config": model_config_to_ckpt_config(cfg)},
+        path,
+    )
+
+    rng = np.random.default_rng(4)
+    n, F = 120, 11  # odd F exercises the features_per_group=2 padding
+    X = rng.normal(size=(n, F))
+    X[:, 0] = rng.integers(0, 4, size=n)
+    emb = rng.normal(size=(n, 1, 768)).astype(np.float32)
+    y = rng.integers(0, 4, size=n)
+    ntr = 90
+    Xtr, Xte, ytr = X[:ntr], X[ntr:], y[:ntr]
+
+    ref_cfgs = [
+        RefPC("quantile_uni_coarse", append_original=True,
+              categorical_name="ordinal_very_common_categories_shuffled",
+              global_transformer_name="svd"),
+        RefPC("none", categorical_name="numeric"),
+    ]
+    our_cfgs = [
+        PreprocessorConfig("quantile_uni_coarse", append_original=True,
+                           categorical_name="ordinal_very_common_categories_shuffled",
+                           global_transformer_name="svd"),
+        PreprocessorConfig("none", categorical_name="numeric"),
+    ]
+
+    ref = RefClf(
+        model_path=str(path), mixer_type="MGM+CAP", mgm_heads=4, cap_heads=2,
+        features_per_group=2, n_estimators=4, random_state=0, device="cpu",
+        inference_config=RefMIC(FINGERPRINT_FEATURE=False,
+                                PREPROCESS_TRANSFORMS=ref_cfgs),
+    )
+    ref.fit(Xtr, torch.from_numpy(emb[:ntr]), ytr)
+    want = np.asarray(ref.predict_proba(Xte, torch.from_numpy(emb[ntr:])))
+
+    ours = MMPFNClassifier(
+        model_path=str(path), mixer_type="MGM+CAP", mgm_heads=4, cap_heads=2,
+        features_per_group=2, n_estimators=4, random_state=0,
+        inference_config=ModelInterfaceConfig(
+            FINGERPRINT_FEATURE=False, PREPROCESS_TRANSFORMS=our_cfgs
+        ),
+    )
+    ours.fit(Xtr, emb[:ntr], ytr)
+    got = ours.predict_proba(Xte, emb[ntr:])
+
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+    assert (np.argmax(got, 1) == np.argmax(want, 1)).mean() == 1.0
