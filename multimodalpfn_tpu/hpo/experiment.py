@@ -237,6 +237,157 @@ def _evaluate_cell_vmapped(
     }
 
 
+def run_experiment_cross_cell(
+    *,
+    X: np.ndarray,
+    embeddings: np.ndarray,
+    y: np.ndarray,
+    n_categorical: int,
+    config: dict[str, Any],
+    dataset_name: str = "dataset",
+    path_to_base_model: str = "auto",
+    n_seeds: int = 5,
+    results_path: str | None = None,
+    checkpoint_dir: str = "./checkpoints",
+    finetuning_config: dict | None = None,
+    time_limit: int = 3600,
+    max_runs_per_group: int = 64,
+    mesh=None,
+) -> GridStudy:
+    """CROSS-CELL batched grid sweep: cells sharing cap_heads run their
+    seeds × cells as ONE vmapped fine-tune stream (padded mixers, see
+    train/finetune_batch.fine_tune_batched_cells), so the 64-run mesh
+    north star applies across the grid, not only within one cell.
+
+    Groups are keyed by cap_heads (the CAP attention head split is not
+    paddable); within a group, runs are chunked to ``max_runs_per_group`` to
+    bound stacked-optimizer memory.
+    """
+    from sklearn.metrics import accuracy_score
+
+    from multimodalpfn_tpu import MMPFNClassifier
+    from multimodalpfn_tpu.estimator.interface_config import ModelInterfaceConfig
+    from multimodalpfn_tpu.models.loading import save_model
+    from multimodalpfn_tpu.preprocess.ensemble import PreprocessorConfig
+    from multimodalpfn_tpu.train.finetune_batch import (
+        extract_run_params,
+        fine_tune_batched_cells,
+    )
+
+    mixer_type = config.get("mixer_type", "MGM+CAP")
+    fpg = config.get("features_per_group", 2)
+    grid = [
+        (int(m), int(c))
+        for m in config["mgm_heads_list"]
+        for c in config["cap_heads_list"]
+    ]
+    seeds = list(range(n_seeds))
+    n = len(y)
+    ntr = int(n * 0.8)
+    Xi = nanmin_impute(X)
+
+    def outer_split(s):
+        perm = np.random.default_rng(s).permutation(n)
+        return perm[:ntr], perm[ntr:]
+
+    def inner_split(s, tr):
+        rng = np.random.default_rng(10_000 + s)
+        inner = rng.permutation(len(tr))
+        n_val = int(round(len(tr) * 0.2))
+        return tr[inner[n_val:]], tr[inner[:n_val]]
+
+    # group valid cells by cap (pruned cells recorded below)
+    groups: dict[int, list[dict]] = {}
+    for m, c in grid:
+        if m < c:  # reference run.py:34-35
+            continue
+        run_splits = [inner_split(s, outer_split(s)[0]) for s in seeds]
+        groups.setdefault(c, []).append(
+            {"mgm_heads": m, "cap_heads": c, "seeds": seeds,
+             "run_splits": run_splits}
+        )
+
+    cell_results: dict[tuple[int, int], dict] = {}
+    ckpt_dir = Path(checkpoint_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    no_preproc = ModelInterfaceConfig(
+        FINGERPRINT_FEATURE=False,
+        PREPROCESS_TRANSFORMS=[PreprocessorConfig(name="none")],
+    )
+
+    for cap, cells in groups.items():
+        # chunk whole cells so a chunk never exceeds max_runs_per_group runs
+        per_cell = len(seeds)
+        cells_per_chunk = max(1, max_runs_per_group // per_cell)
+        for i in range(0, len(cells), cells_per_chunk):
+            chunk = cells[i : i + cells_per_chunk]
+            logger.info(
+                "cross-cell group cap=%d: %d cells x %d seeds in one stream",
+                cap, len(chunk), per_cell,
+            )
+            out = fine_tune_batched_cells(
+                cells=chunk,
+                mixer_type=mixer_type,
+                features_per_group=fpg,
+                path_to_base_model=path_to_base_model,
+                X=Xi,
+                image=embeddings,
+                y=y,
+                finetuning_config={"learning_rate": 1e-5, "max_steps": 100,
+                                   **(finetuning_config or {})},
+                time_limit=time_limit,
+                static_seed=seeds[0],
+                mesh=mesh,
+            )
+            for r, (ci, s) in enumerate(out["run_cells"]):
+                m = chunk[ci]["mgm_heads"]
+                params_r, cfg_r = extract_run_params(out, r)
+                path = ckpt_dir / (
+                    f"finetuned_mmpfn_{dataset_name}_m{m}c{cap}_seed{s}.ckpt"
+                )
+                save_model(path, params_r, cfg_r,
+                           criterion_borders=out.get("criterion_borders"))
+                tr, te = outer_split(s)
+                clf = MMPFNClassifier(
+                    model_path=path,
+                    inference_config=no_preproc,
+                    ignore_pretraining_limits=True,
+                    mixer_type=mixer_type,
+                    mgm_heads=m,
+                    cap_heads=cap,
+                    features_per_group=fpg,
+                    categorical_features_indices=list(range(n_categorical)),
+                )
+                clf.fit(Xi[tr], embeddings[tr], y[tr])
+                acc = accuracy_score(y[te], clf.predict(Xi[te], embeddings[te]))
+                cell_results.setdefault((m, cap), {"accs": []})["accs"].append(acc)
+
+    # record every grid cell as a trial (pruned where mgm < cap)
+    study = GridStudy(
+        search_space={
+            "mgm_heads": list(config["mgm_heads_list"]),
+            "cap_heads": list(config["cap_heads_list"]),
+        },
+        direction="maximize",
+    )
+    for m, c in grid:
+        trial = Trial(
+            number=len(study.trials), params={"mgm_heads": m, "cap_heads": c}
+        )
+        study.trials.append(trial)
+        if m < c:
+            trial.state = "pruned"
+            continue
+        accs = cell_results.get((m, c), {}).get("accs", [])
+        trial.value = float(np.mean(accs)) if accs else 0.0
+        trial.state = "complete"
+        trial.set_user_attr("std_accuracy", float(np.std(accs)) if accs else 0.0)
+        trial.set_user_attr("n_completed_seeds", len(accs))
+    if results_path:
+        study.save(results_path)
+    return study
+
+
 def run_experiment(
     *,
     X: np.ndarray,

@@ -127,6 +127,59 @@ class GridStudy:
             )
 
 
+    # --- result collation (replaces the reference's hand-collated
+    # charts/*.csv + draw_charts.ipynb pipeline) -----------------------------
+
+    def to_csv(self, path, *, scale: float = 1.0) -> None:
+        """Write the reference chart format: tab-separated
+        ``mgm_heads  cap_heads  mean  std`` per completed cell
+        (`mmpfn/charts/pad_ufes_20.csv`). ``scale=100`` for percentages."""
+        with open(path, "w") as f:
+            f.write("mgm_heads\tcap_heads\tmean\tstd\n")
+            for t in self.completed_trials:
+                mean = round((t.value or 0.0) * scale, 2)
+                std = round(t.user_attrs.get("std_accuracy", 0.0) * scale, 2)
+                f.write(
+                    f"{t.params.get('mgm_heads')}\t{t.params.get('cap_heads')}"
+                    f"\t{mean}\t{std}\n"
+                )
+
+    def summary_table(self, *, scale: float = 1.0) -> str:
+        """Human-readable mgm × cap grid of ``mean±std`` (the draw_charts
+        heatmap as text), with the best cell marked ``*``."""
+        mgms = sorted({t.params.get("mgm_heads") for t in self.trials})
+        caps = sorted({t.params.get("cap_heads") for t in self.trials})
+        cells = {
+            (t.params.get("mgm_heads"), t.params.get("cap_heads")): t
+            for t in self.trials
+        }
+        try:
+            best = self.best_trial
+        except ValueError:
+            best = None
+        width = 14
+        lines = [
+            "mgm\\cap".ljust(8)
+            + "".join(str(c).rjust(width) for c in caps)
+        ]
+        for m in mgms:
+            row = [str(m).ljust(8)]
+            for c in caps:
+                t = cells.get((m, c))
+                if t is None or t.state == "pruned":
+                    row.append("-".rjust(width))
+                elif t.state != "complete":
+                    row.append(t.state.rjust(width))
+                else:
+                    mark = "*" if best is not None and t is best else ""
+                    std = t.user_attrs.get("std_accuracy", 0.0) * scale
+                    row.append(
+                        f"{t.value * scale:.2f}±{std:.2f}{mark}".rjust(width)
+                    )
+            lines.append("".join(row))
+        return "\n".join(lines)
+
+
 def create_study(
     *, search_space: dict[str, list], direction: str = "maximize"
 ) -> GridStudy:

@@ -70,10 +70,21 @@ def orthogonality_loss(params_mgm: dict) -> jnp.ndarray:
     return loss
 
 
-def cap(params: dict, cfg: MixerConfig, src: jnp.ndarray, *, rng=None, train=False):
+def cap(
+    params: dict,
+    cfg: MixerConfig,
+    src: jnp.ndarray,
+    *,
+    rng=None,
+    train=False,
+    src_valid: jnp.ndarray | None = None,
+):
     """Cross-Attention Pooler (`transformer.py:60-88`): ``cap_heads`` learned queries
     attend over the mixer tokens via torch-style nn.MultiheadAttention, then
-    out = LN(out) + FFN(out). src: ``(b, s, N, e)`` -> ``(b, s, cap_heads, e)``."""
+    out = LN(out) + FFN(out). src: ``(b, s, N, e)`` -> ``(b, s, cap_heads, e)``.
+
+    ``src_valid``: boolean ``(N,)`` — False source tokens are excluded exactly
+    (for padded MGM heads in cross-cell batched HPO)."""
     e = src.shape[-1]
     nh = cfg.cap_heads
     hd = e // nh
@@ -96,6 +107,8 @@ def cap(params: dict, cfg: MixerConfig, src: jnp.ndarray, *, rng=None, train=Fal
     kh = split_heads(k)  # (b, s, N, nh, hd)
     vh = split_heads(v)
     logits = jnp.einsum("chd,bsnhd->bshcn", qh, kh) / math.sqrt(hd)
+    if src_valid is not None:
+        logits = jnp.where(src_valid, logits, -jnp.inf)
     p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(src.dtype)
     p = _dropout(p, cfg.dropout, rng if train else None, not train)
     o = jnp.einsum("bshcn,bsnhd->bschd", p, vh)
@@ -111,13 +124,32 @@ def cap(params: dict, cfg: MixerConfig, src: jnp.ndarray, *, rng=None, train=Fal
     return _layer_norm(out, params["out_norm_g"], params["out_norm_b"]) + ffn
 
 
-def moe(params: dict, cfg: MixerConfig, image: jnp.ndarray, *, rng=None, train=False):
+def moe(
+    params: dict,
+    cfg: MixerConfig,
+    image: jnp.ndarray,
+    *,
+    rng=None,
+    train=False,
+    expert_active: jnp.ndarray | None = None,
+):
     """Dense top-k MoE over the first image token (`transformer.py:91-128`).
     Note the reference's top_k = max(mgm_heads, cap_heads) >= n_experts whenever
-    cap<=mgm, i.e. the gate is effectively dense; we reproduce both branches."""
+    cap<=mgm, i.e. the gate is effectively dense; we reproduce both branches.
+
+    ``expert_active``: experts with index >= this count get gate weight 0
+    exactly (padded experts in cross-cell batched HPO; dense gate only)."""
     x = image[..., 0, :]  # (b, s, in_dim) first token only (reference x[0,:,0])
     n_experts = params["ln_g"].shape[0]
-    gate = jax.nn.softmax(x @ params["gate_w"] + params["gate_b"], axis=-1)
+    gate_logits = x @ params["gate_w"] + params["gate_b"]
+    if expert_active is not None:
+        assert cfg.moe_top_k >= n_experts, (
+            "per-run top-k gating is not supported with padded experts"
+        )
+        gate_logits = jnp.where(
+            jnp.arange(n_experts) < expert_active, gate_logits, -jnp.inf
+        )
+    gate = jax.nn.softmax(gate_logits, axis=-1)
     if cfg.moe_top_k < n_experts:
         thresh = -jnp.sort(-gate, axis=-1)[..., cfg.moe_top_k - 1 : cfg.moe_top_k]
         mask = gate >= thresh
@@ -149,14 +181,33 @@ def apply_mixer(
     *,
     rng=None,
     train=False,
+    mgm_active: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Dispatch per `transformer.py:755-761`."""
+    """Dispatch per `transformer.py:755-761`.
+
+    ``mgm_active`` (traced scalar) activates a prefix of PADDED MGM heads /
+    MoE experts for cross-cell batched HPO: inactive MGM-head tokens are
+    excluded from the CAP pool (or MoE gate) exactly, and the caller masks
+    inactive output tokens out of the transformer's feature attention. Exact
+    equality with an unpadded mixer of the active size. ``cap_heads`` is NOT
+    paddable — it sets the CAP MHA head split (reference `transformer.py:66`),
+    so batched groups must share it."""
     if cfg.mixer_type == "MoE":
-        return moe(mixer_params["moe"], cfg, image, rng=rng, train=train)
+        return moe(
+            mixer_params["moe"], cfg, image, rng=rng, train=train,
+            expert_active=mgm_active,
+        )
     r1 = r2 = None
     if train and rng is not None:
         r1, r2 = jax.random.split(rng)
     tokens = mgm(mixer_params["mgm"], cfg, image, rng=r1, train=train)
     if cfg.mixer_type == "MGM+CAP":
-        tokens = cap(mixer_params["cap"], cfg, tokens, rng=r2, train=train)
+        src_valid = None
+        if mgm_active is not None:
+            n_img = image.shape[-2]
+            src_valid = (jnp.arange(tokens.shape[-2]) // n_img) < mgm_active
+        tokens = cap(
+            mixer_params["cap"], cfg, tokens, rng=r2, train=train,
+            src_valid=src_valid,
+        )
     return tokens

@@ -173,6 +173,65 @@ def init_mixer_params(key, cfg: MixerConfig, emsize: int) -> Params:
     return p
 
 
+def _pad_leaf(x, axis: int, to: int):
+    if x.shape[axis] == to:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, to - x.shape[axis])
+    return jnp.pad(x, widths)
+
+
+# leaf -> axis that stacks heads/experts (everything else is shape-invariant)
+_MGM_HEAD_AXIS = {"ln_g": 0, "ln_b": 0, "w1": 0, "b1": 0, "w2": 0, "b2": 0}
+_MOE_EXPERT_AXIS = {
+    "ln_g": 0, "ln_b": 0, "w1": 0, "b1": 0, "w2": 0, "b2": 0,
+    "gate_w": 1, "gate_b": 0,
+}
+
+
+def pad_mixer_params(p: Params, cfg_pad: MixerConfig) -> Params:
+    """Zero-pad per-head/per-expert mixer leaves up to ``cfg_pad.mgm_heads``.
+
+    Combined with the runtime activation mask (``apply_mixer(mgm_active=...)``)
+    the padded model computes EXACTLY what the unpadded active-size model
+    would — this is what lets grid cells with different mgm_heads share one
+    vmapped train stream (cross-cell HPO batching). Padded parameters receive
+    exactly-zero gradients. ``cap_heads`` is NOT paddable (it sets the CAP MHA
+    head split) — batched groups must share it.
+    """
+    out = dict(p)
+    if "mgm" in p:
+        out["mgm"] = {
+            k: _pad_leaf(v, _MGM_HEAD_AXIS[k], cfg_pad.mgm_heads)
+            for k, v in p["mgm"].items()
+        }
+    if "moe" in p:
+        out["moe"] = {
+            k: _pad_leaf(v, _MOE_EXPERT_AXIS[k], cfg_pad.mgm_heads)
+            for k, v in p["moe"].items()
+        }
+    return out
+
+
+def slice_mixer_params(p: Params, cfg_active: MixerConfig) -> Params:
+    """Inverse of `pad_mixer_params`: extract the active prefix so a padded run's
+    result round-trips into a regular checkpoint of the true cell shape."""
+    out = dict(p)
+    if "mgm" in p:
+        out["mgm"] = {
+            k: jnp.take(v, jnp.arange(cfg_active.mgm_heads), axis=_MGM_HEAD_AXIS[k])
+            for k, v in p["mgm"].items()
+        }
+    if "moe" in p:
+        out["moe"] = {
+            k: jnp.take(
+                v, jnp.arange(cfg_active.mgm_heads), axis=_MOE_EXPERT_AXIS[k]
+            )
+            for k, v in p["moe"].items()
+        }
+    return out
+
+
 def init_params(key, cfg: ModelConfig, model_seed: int = 0) -> Params:
     """Fresh random init of the whole model (matching reference init distributions:
     zero-init output projections `layer.py:192,232`, attn input init

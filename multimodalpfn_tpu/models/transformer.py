@@ -60,11 +60,16 @@ def encoder_layer(
     *,
     single_eval_pos: int,
     cfg: ModelConfig,
+    token_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """One PerFeatureEncoderLayer (reference `layer.py:272-457`): post-norm
     [feature-attn, item-attn, MLP], each with residual.
 
     state: ``(b, s, t, e)`` where t = feature tokens + 1 target token.
+    token_valid: optional ``(t,)`` bool — invalid tokens (padded mixer outputs
+    in cross-cell batched HPO) are excluded from feature attention as keys;
+    their own streams evolve but are never read (the decoder reads only the
+    target token).
     """
     cd = jnp.dtype(cfg.compute_dtype)
     # --- attention between feature tokens (within each sample) ---
@@ -73,6 +78,7 @@ def encoder_layer(
         layer_params["attn_feat"]["w_qkv"],
         layer_params["attn_feat"]["w_out"],
         compute_dtype=cd,
+        key_mask=token_valid,
     )
     # residuals/LN run in fp32 (einsum outputs are fp32-accumulated); cast back to
     # the compute dtype so the scan carry dtype is stable in bf16 mode
@@ -117,6 +123,8 @@ def forward(
     rng: jax.Array | None = None,
     remat: bool = False,
     return_embeddings: bool = False,
+    mgm_active: jnp.ndarray | None = None,
+    feat_pos_noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray | dict[str, Any]:
     """Forward pass.
 
@@ -126,6 +134,10 @@ def forward(
       y_train: train targets ``(b, sep)`` float32.
       image: frozen-encoder embeddings ``(b, S, N_img, in_dim)`` or None.
       single_eval_pos: static train/test split position.
+      mgm_active: traced head/expert count activating a prefix of PADDED mixer
+        params (cross-cell batched HPO); inactive heads/tokens are masked
+        exactly, so the result equals an unpadded mixer of the active size.
+      feat_pos_noise: per-run subspace-noise table override (see _forward_impl).
 
     Returns logits ``(b, S - sep, n_out)`` (or a dict with embeddings).
     """
@@ -145,6 +157,8 @@ def forward(
             rng=rng,
             remat=remat,
             return_embeddings=return_embeddings,
+            mgm_active=mgm_active,
+            feat_pos_noise=feat_pos_noise,
         )
 
 
@@ -160,6 +174,8 @@ def _forward_impl(
     rng: jax.Array | None = None,
     remat: bool = False,
     return_embeddings: bool = False,
+    mgm_active: jnp.ndarray | None = None,
+    feat_pos_noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray | dict[str, Any]:
     sep = single_eval_pos
     b = y_train.shape[0]
@@ -183,14 +199,25 @@ def _forward_impl(
         embedded_x = None
 
     # ---- multimodal mixer tokens appended on the feature axis (transformer.py:755-768)
+    n_img_tokens = 0
+    active_img = None
     if image is not None:
         mixer_rng = None
         if train and rng is not None:
             rng, mixer_rng = jax.random.split(rng)
         tokens = apply_mixer(
             params["mixer"], cfg.mixer, image.astype(jnp.float32),
-            rng=mixer_rng, train=train,
+            rng=mixer_rng, train=train, mgm_active=mgm_active,
         )
+        n_img_tokens = tokens.shape[-2]
+        # active image-token count for the padded-mixer token mask (traced).
+        # MGM+CAP always emits exactly cap_heads tokens (the CAP queries are
+        # never padded), so no transformer-level mask is needed there.
+        if mgm_active is not None:
+            if cfg.mixer.mixer_type == "MGM":
+                active_img = mgm_active * image.shape[-2]
+            elif cfg.mixer.mixer_type == "MoE":
+                active_img = mgm_active  # one token per expert; inactive gate=0
         if tokens.shape[0] == 1 and b > 1:
             # ensemble members share the image: callers pass it with a singleton
             # batch axis, the mixer runs once, and tokens broadcast to members
@@ -204,17 +231,35 @@ def _forward_impl(
     # ---- feature positional embedding ("subspace", transformer.py:925-933)
     if cfg.feature_positional_embedding == "subspace":
         f_total = embedded_x.shape[-2]
-        noise = jnp.asarray(
-            get_subspace_noise(cfg.model_seed, f_total, cfg.emsize // 4)
-        )
+        if feat_pos_noise is not None:
+            # per-run override for padded-mixer batching: torch draws are not
+            # prefix-stable across token counts, so a run whose ACTIVE token
+            # count differs from the padded one passes its own table (rows
+            # beyond the active count are irrelevant — those tokens are masked)
+            noise = feat_pos_noise
+        else:
+            noise = jnp.asarray(
+                get_subspace_noise(cfg.model_seed, f_total, cfg.emsize // 4)
+            )
         embs = noise @ params["feat_pos_emb"]["w"] + params["feat_pos_emb"]["b"]
         embedded_x = embedded_x + embs[None, None]
 
     state = jnp.concatenate([embedded_x, embedded_y[:, :, None, :]], axis=2)
     state = state.astype(jnp.dtype(cfg.compute_dtype))
 
+    token_valid = None
+    if active_img is not None:
+        t_total = state.shape[2]
+        f_tab = t_total - n_img_tokens - 1
+        idx = jnp.arange(t_total)
+        # tabular feature tokens and the target token are always valid; only an
+        # active prefix of the (padded) image tokens is
+        token_valid = (idx < f_tab) | (idx - f_tab < active_img) | (idx == t_total - 1)
+
     # ---- encoder stack under scan (stacked layer params)
-    layer_fn = partial(encoder_layer, single_eval_pos=sep, cfg=cfg)
+    layer_fn = partial(
+        encoder_layer, single_eval_pos=sep, cfg=cfg, token_valid=token_valid
+    )
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 

@@ -34,6 +34,7 @@ def mha(
     kv_head0_only: bool = False,
     compute_dtype=jnp.float32,
     use_flash: bool = False,
+    key_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Multi-head attention with stacked qkv weights.
 
@@ -44,7 +45,13 @@ def mha(
       w_out: ``(h, d, E_out)`` output projection.
       kv_head0_only: multiquery mode — compute K/V only from head 0 and share it
         across all query heads (reference ``reuse_first_head_kv``).
+      key_mask: optional boolean mask broadcastable to ``(..., Sk)``; False keys
+        are excluded exactly (−inf logits → softmax weight 0). Used for masked
+        padded mixer tokens in cross-cell batched HPO. Not supported with
+        ``use_flash``.
     """
+    if key_mask is not None and use_flash:
+        raise NotImplementedError("key_mask is not supported on the flash path")
     d = w_qkv.shape[2]
     scale = 1.0 / math.sqrt(d)
     cd = compute_dtype
@@ -119,6 +126,8 @@ def mha(
             )
             * scale
         )
+        if key_mask is not None:
+            logits = jnp.where(key_mask, logits, -jnp.inf)
         p = _softmax_f32(logits)
         o = jnp.einsum(
             "...hqk,...kd->...qhd",
@@ -138,6 +147,8 @@ def mha(
             )
             * scale
         )
+        if key_mask is not None:
+            logits = jnp.where(key_mask, logits, -jnp.inf)
         p = _softmax_f32(logits)
         o = jnp.einsum(
             "...hqk,...khd->...qhd",
@@ -153,8 +164,8 @@ def mha(
     )
 
 
-def self_attention(x, w_qkv, w_out, *, compute_dtype=jnp.float32):
-    return mha(x, x, w_qkv, w_out, compute_dtype=compute_dtype)
+def self_attention(x, w_qkv, w_out, *, compute_dtype=jnp.float32, key_mask=None):
+    return mha(x, x, w_qkv, w_out, compute_dtype=compute_dtype, key_mask=key_mask)
 
 
 def _ring_mha(

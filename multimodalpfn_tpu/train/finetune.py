@@ -19,6 +19,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from pathlib import Path
@@ -197,8 +198,8 @@ def fine_tune_mmpfn(
             None if image_val is None else jnp.asarray(image_val, jnp.float32)[None],
         )
 
-    def validate(p) -> float:
-        logits = np.asarray(val_forward(p))[0]
+    def score_val_logits(logits: np.ndarray) -> float:
+        """Host-side scoring of already-fetched validation logits (b=0 row)."""
         if task == "regression":
             from multimodalpfn_tpu.models.bar_distribution import (
                 FullSupportBarDistribution,
@@ -215,6 +216,21 @@ def fine_tune_mmpfn(
             y_pred = y_pred / y_pred.sum(axis=-1, keepdims=True)
         score = scorer(y_val, y_pred)
         return scorer.convert_score_to_error(score)
+
+    def validate(p) -> float:
+        return score_val_logits(np.asarray(val_forward(p))[0])
+
+    # Fused step+validation: when validating every step (the reference
+    # protocol), one compiled program per step and ONE host fetch — the axon
+    # tunnel costs ~30ms per sync, so separate loss/grad-norm/validation
+    # fetches dominated the steady-state step time.
+    validate_inline = int(cfg_hp["validate_every_n_steps"]) == 1
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_and_val(state, batch, rng):
+        new_state, metrics = train_step(state, batch, rng)
+        p_eval = eval_params(new_state, is_sf)
+        return new_state, metrics, val_forward(p_eval)
 
     save_path = Path(save_path_to_fine_tuned_model)
     save_path.parent.mkdir(parents=True, exist_ok=True)
@@ -274,10 +290,24 @@ def fine_tune_mmpfn(
             save_train_state(state_path, state)
         batch = sampler.sample(episode_batch_size)
         key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub)
-        loss = float(jax.device_get(metrics["loss"]))
+        val_logits = None
+        if validate_inline:
+            state, metrics, val_logits_dev = step_and_val(state, batch, sub)
+            fetched = jax.device_get(
+                {"loss": metrics["loss"], "gn": metrics["grad_norm"],
+                 "vl": val_logits_dev}
+            )
+            loss = float(fetched["loss"])
+            gn = float(fetched["gn"])
+            val_logits = np.asarray(fetched["vl"])[0]
+        else:
+            state, metrics = train_step(state, batch, sub)
+            fetched = jax.device_get(
+                {"loss": metrics["loss"], "gn": metrics["grad_norm"]}
+            )
+            loss, gn = float(fetched["loss"]), float(fetched["gn"])
         history["train_loss"].append(loss)
-        history["grad_norm"].append(float(jax.device_get(metrics["grad_norm"])))
+        history["grad_norm"].append(gn)
         history["steps"] = step_i
         if pbar is not None:
             pbar.update(1)
@@ -285,7 +315,11 @@ def fine_tune_mmpfn(
 
         if step_i % int(cfg_hp["validate_every_n_steps"]) == 0:
             p_eval = eval_params(state, is_sf)
-            err = validate(p_eval)
+            err = (
+                score_val_logits(val_logits)
+                if val_logits is not None
+                else validate(p_eval)
+            )
             history["val_error"].append((step_i, err))
             is_best = err < best_err
             if is_best:

@@ -2,14 +2,26 @@
 
 The reference runs its 5-seeds-per-grid-cell protocol as sequential processes
 (`run.py:39-129`, two GPUs of shell queues `run0.sh`/`run1.sh`). Here independent
-runs (seed × split) become a leading axis: params, optimizer state, and episode
-batches are stacked, the train step is `jax.vmap`-ed then jitted once, and the run
-axis shards over the mesh's ``dp`` axis — a whole multi-seed sweep advances in
-lockstep on one or many chips. This is the "vmapped HPO trials" north star
-(BASELINE.json config 5).
+runs become a leading axis: params, optimizer state, and episode batches are
+stacked, the train step is `jax.vmap`-ed then jitted once, and the run axis
+shards over the mesh's ``dp`` axis — a whole sweep advances in lockstep on one
+or many chips. This is the "vmapped HPO trials" north star (BASELINE.json
+config 5).
 
-Constraints: runs must share the architecture (same mgm/cap head counts — one grid
-cell) and episode shapes (same dataset split sizes), which the reference protocol
+Two granularities:
+
+  * ``fine_tune_batched`` — the seeds of ONE grid cell (same mgm/cap heads).
+  * ``fine_tune_batched_cells`` — CROSS-CELL batching: cells with different
+    ``mgm_heads`` run together by zero-padding the per-head mixer params to the
+    group max and activating a per-run prefix at runtime
+    (`models/params.pad_mixer_params` + ``forward(mgm_active=...)``); inactive
+    heads are masked exactly and receive exactly-zero gradients, so every run
+    computes what its unpadded cell would. ``cap_heads`` sets the CAP MHA head
+    split (reference `transformer.py:66`) and is NOT paddable — a group must
+    share it (the reference grids sweep mgm over 2..256 but cap only 2..32, so
+    grouping by cap still batches the long axis).
+
+Runs must share episode shapes (same dataset split sizes), which the protocol
 satisfies by construction.
 """
 
@@ -26,7 +38,12 @@ import numpy as np
 
 from multimodalpfn_tpu.estimator.base import initialize_model
 from multimodalpfn_tpu.models.config import MixerConfig
-from multimodalpfn_tpu.models.params import init_mixer_params
+from multimodalpfn_tpu.models.params import (
+    get_subspace_noise,
+    init_mixer_params,
+    pad_mixer_params,
+    slice_mixer_params,
+)
 from multimodalpfn_tpu.models.transformer import forward_train_test
 from multimodalpfn_tpu.train.data import EpisodeSampler
 from multimodalpfn_tpu.train.finetune import _canon_task
@@ -40,20 +57,6 @@ from multimodalpfn_tpu.train.step import (
 )
 
 logger = logging.getLogger(__name__)
-
-
-def _stack_params_for_runs(params: dict, mixer_cfg: MixerConfig, emsize: int, seeds):
-    """Base weights broadcast across runs; mixer weights freshly initialized per
-    run from its seed (strict=False semantics per run)."""
-    n = len(seeds)
-    stacked = jax.tree.map(lambda p: jnp.broadcast_to(p, (n, *p.shape)), params)
-    if mixer_cfg.mixer_type != "none":
-        mixers = [
-            init_mixer_params(jax.random.PRNGKey(int(s)), mixer_cfg, emsize)
-            for s in seeds
-        ]
-        stacked["mixer"] = jax.tree.map(lambda *xs: jnp.stack(xs), *mixers)
-    return stacked
 
 
 def fine_tune_batched(
@@ -76,11 +79,53 @@ def fine_tune_batched(
     mesh=None,
     run_splits: list[tuple[np.ndarray, np.ndarray]] | None = None,
 ) -> dict[str, Any]:
-    """Fine-tune len(seeds) independent runs simultaneously.
+    """Fine-tune len(seeds) independent runs of ONE grid cell simultaneously."""
+    cell = {"mgm_heads": mgm_heads, "cap_heads": cap_heads, "seeds": list(seeds)}
+    if run_splits is not None:
+        cell["run_splits"] = run_splits
+    return fine_tune_batched_cells(
+        cells=[cell],
+        mixer_type=mixer_type,
+        features_per_group=features_per_group,
+        path_to_base_model=path_to_base_model,
+        task_type=task_type,
+        X=X,
+        image=image,
+        y=y,
+        finetuning_config=finetuning_config,
+        validation_metric=validation_metric,
+        freeze_input=freeze_input,
+        val_fraction=val_fraction,
+        time_limit=time_limit,
+        mesh=mesh,
+    )
 
-    Each run r: its own train/val split (seeded by seeds[r]), its own fresh mixer
-    init, its own episode stream — all advanced by ONE vmapped+jitted step.
-    Returns per-run histories and the stacked final (eval) params.
+
+def fine_tune_batched_cells(
+    *,
+    cells: list[dict[str, Any]],
+    mixer_type: str,
+    features_per_group: int,
+    path_to_base_model: str = "auto",
+    task_type: str = "multiclass",
+    X: np.ndarray | None,
+    image: np.ndarray | None,
+    y: np.ndarray,
+    finetuning_config: dict[str, Any] | None = None,
+    validation_metric: str = "log_loss",
+    freeze_input: bool = True,
+    val_fraction: float = 0.2,
+    time_limit: float = 3600,
+    mesh=None,
+    static_seed: int | None = None,
+) -> dict[str, Any]:
+    """Fine-tune cells × seeds independent runs in ONE vmapped step stream.
+
+    ``cells``: each ``{"mgm_heads", "cap_heads", "seeds", ["run_splits"]}``.
+    Every run r: its own mixer init (at its cell's TRUE head count, then padded),
+    its own train/val split, its own episode stream. Returns per-run histories
+    and stacked final (eval) params; use `extract_run_params` to recover a
+    run's checkpoint at its cell's true shape.
     """
     st = time.time()
     task = _canon_task(task_type)
@@ -92,14 +137,30 @@ def fine_tune_batched(
         "optimizer": "schedule_free_adamw",
         **(finetuning_config or {}),
     }
-    n_runs = len(seeds)
+
+    # ---- flatten runs; compute the padded group shape
+    run_cells: list[tuple[int, int]] = [
+        (ci, int(s)) for ci, c in enumerate(cells) for s in c["seeds"]
+    ]
+    n_runs = len(run_cells)
+    mgm_max = max(int(c["mgm_heads"]) for c in cells)
+    caps = {int(c["cap_heads"]) for c in cells}
+    if mixer_type == "MGM+CAP" and image is not None and len(caps) != 1:
+        raise ValueError(
+            f"cap_heads must be shared across a batched group (got {sorted(caps)}):"
+            " it sets the CAP attention head split and cannot be padded"
+        )
+    cap_heads = int(cells[0]["cap_heads"])
+    padded = len({int(c["mgm_heads"]) for c in cells}) > 1
+    if static_seed is None:
+        static_seed = run_cells[0][1]
 
     loaded = initialize_model(
         model_path=path_to_base_model,
         which="classifier" if is_clf else "regressor",
-        static_seed=int(seeds[0]),
+        static_seed=int(static_seed),
         mixer_type=mixer_type if image is not None else "none",
-        mgm_heads=mgm_heads,
+        mgm_heads=mgm_max,
         cap_heads=cap_heads,
         features_per_group=features_per_group,
     )
@@ -110,21 +171,22 @@ def fine_tune_batched(
         use_flash=on_accel,
     )
 
-    # --- per-run (train, val) index splits with identical sizes; callers may
-    # provide them (e.g. the HPO protocol's inner split of each outer-train set)
-    if run_splits is not None:
-        assert len(run_splits) == n_runs
-        sizes = {(len(tr), len(va)) for tr, va in run_splits}
-        assert len(sizes) == 1, "all runs must share split sizes (static shapes)"
-        splits = [(np.asarray(tr), np.asarray(va)) for tr, va in run_splits]
-    else:
-        n = len(y)
-        n_val = int(round(n * val_fraction))
-        splits = []
-        for s in seeds:
+    # ---- per-run (train, val) index splits with identical sizes
+    splits: list[tuple[np.ndarray, np.ndarray]] = []
+    for ci, s in run_cells:
+        cell_splits = cells[ci].get("run_splits")
+        if cell_splits is not None:
+            r = cells[ci]["seeds"].index(s)
+            tr, va = cell_splits[r]
+            splits.append((np.asarray(tr), np.asarray(va)))
+        else:
+            n = len(y)
+            n_val = int(round(n * val_fraction))
             rng = np.random.default_rng(int(s))
             perm = rng.permutation(n)
             splits.append((perm[n_val:], perm[:n_val]))
+    sizes = {(len(tr), len(va)) for tr, va in splits}
+    assert len(sizes) == 1, "all runs must share split sizes (static shapes)"
 
     def gather(arr, idx):
         return None if arr is None else arr[idx]
@@ -134,13 +196,58 @@ def fine_tune_batched(
             X=gather(X, tr), image=gather(image, tr), y=y[tr],
             is_classification=is_clf, seed=4213 + int(s),
         )
-        for s, (tr, _va) in zip(seeds, splits)
+        for (_, s), (tr, _va) in zip(run_cells, splits)
     ]
 
-    params_stacked = _stack_params_for_runs(
-        loaded.params, cfg.mixer if image is not None else MixerConfig("none"),
-        cfg.emsize, seeds,
+    # ---- stacked params: base weights broadcast; per-run mixer init at the
+    # cell's TRUE head count (strict=False semantics per run), padded to group
+    mixer_on = image is not None and mixer_type != "none"
+    run_mixer_cfgs = [
+        dataclasses.replace(
+            cfg.mixer, mgm_heads=int(cells[ci]["mgm_heads"]), cap_heads=cap_heads
+        )
+        for ci, _ in run_cells
+    ]
+    params_stacked = jax.tree.map(
+        lambda p: jnp.broadcast_to(p, (n_runs, *p.shape)), loaded.params
     )
+    if mixer_on:
+        mixers = [
+            pad_mixer_params(
+                init_mixer_params(jax.random.PRNGKey(int(s)), mc, cfg.emsize),
+                cfg.mixer,
+            )
+            for (_, s), mc in zip(run_cells, run_mixer_cfgs)
+        ]
+        params_stacked = dict(params_stacked)
+        params_stacked["mixer"] = jax.tree.map(lambda *xs: jnp.stack(xs), *mixers)
+
+    # ---- per-run runtime extras: active head counts + noise-table overrides
+    extras: dict[str, jnp.ndarray] = {}
+    if mixer_on and padded:
+        extras["mgm_active"] = jnp.asarray(
+            [int(cells[ci]["mgm_heads"]) for ci, _ in run_cells], jnp.int32
+        )
+        if (
+            mixer_type != "MGM+CAP"
+            and cfg.feature_positional_embedding == "subspace"
+        ):
+            # MGM/MoE token counts vary with mgm_heads and torch noise draws
+            # are not prefix-stable: each run carries its active-count table
+            n_img = image.shape[-2] if image.ndim == 4 else 1
+            f_tab = 0
+            if X is not None:
+                F = X.shape[-1]
+                f_tab = -(-F // features_per_group)
+            sub = cfg.emsize // 4
+            per_img = n_img if mixer_type == "MGM" else 1
+            n_pad = mgm_max * per_img
+            tabs = []
+            for ci, _ in run_cells:
+                n_act = int(cells[ci]["mgm_heads"]) * per_img
+                tab = get_subspace_noise(cfg.model_seed, f_tab + n_act, sub)
+                tabs.append(np.pad(tab, ((0, n_pad - n_act), (0, 0))))
+            extras["feat_pos_noise"] = jnp.asarray(np.stack(tabs))
 
     borders = None
     if task == "regression":
@@ -149,15 +256,19 @@ def fine_tune_batched(
     scorer = get_scorer(validation_metric)
 
     mask = frozen_input_mask(loaded.params, freeze_input)
-    tx = make_optimizer(hps["learning_rate"], optimizer=hps["optimizer"], freeze_mask=mask)
+    tx = make_optimizer(
+        hps["learning_rate"], optimizer=hps["optimizer"], freeze_mask=mask
+    )
 
-    def one_step(state: TrainState, batch, rng):
+    def one_step(state: TrainState, batch, rng, ex):
         def compute_loss(p):
             logits = forward_train_test(
                 p, cfg,
                 batch.get("x_train"), batch["y_train"], batch.get("x_test"),
                 batch.get("image_train"), batch.get("image_test"),
                 train=True, rng=rng, remat=True,
+                mgm_active=ex.get("mgm_active"),
+                feat_pos_noise=ex.get("feat_pos_noise"),
             )
             return loss_fn(logits, batch["y_test"])
 
@@ -172,25 +283,24 @@ def fine_tune_batched(
     val_data = _stack_val(X, image, y, splits)
 
     @jax.jit
-    def val_logits(params_stacked):
+    def val_logits(params_s):
         return jax.vmap(
-            lambda p, d: forward_train_test(
+            lambda p, d, ex: forward_train_test(
                 p, cfg,
                 d.get("x_train"), d["y_train"], d.get("x_val"),
                 d.get("image_train"), d.get("image_val"),
+                mgm_active=ex.get("mgm_active"),
+                feat_pos_noise=ex.get("feat_pos_noise"),
             )
-        )(params_stacked, val_data)
+        )(params_s, val_data, extras)
 
-    # init state (vmapped opt init)
     state = jax.vmap(lambda p: init_train_state(p, tx))(params_stacked)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         shard_runs = NamedSharding(mesh, P("dp"))
-        state = jax.device_put(
-            state, jax.tree.map(lambda _: shard_runs, state)
-        )
+        state = jax.device_put(state, jax.tree.map(lambda _: shard_runs, state))
 
     def evaluate(params_s) -> np.ndarray:
         logits = np.asarray(val_logits(params_s))  # (runs, 1, n_val, n_out)
@@ -203,7 +313,9 @@ def fine_tune_batched(
                     FullSupportBarDistribution,
                 )
 
-                pred = np.asarray(FullSupportBarDistribution(borders).mean(jnp.asarray(lo)))
+                pred = np.asarray(
+                    FullSupportBarDistribution(borders).mean(jnp.asarray(lo))
+                )
             else:
                 z = lo - lo.max(-1, keepdims=True)
                 pred = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
@@ -225,7 +337,7 @@ def fine_tune_batched(
         batch = _stack_batches([s.sample(1) for s in samplers])
         key, sub = jax.random.split(key)
         subs = jax.random.split(sub, n_runs)
-        state, losses = batched_step(state, batch, subs)
+        state, losses = batched_step(state, batch, subs, extras)
         history["train_loss"].append(np.asarray(losses).tolist())
         if step_i % int(hps["validate_every_n_steps"]) == 0:
             p_eval = sf_eval(state, hps["optimizer"] == "schedule_free_adamw")
@@ -242,7 +354,23 @@ def fine_tune_batched(
         "config": cfg,
         "splits": splits,
         "criterion_borders": loaded.criterion_borders,
+        "run_cells": run_cells,
+        "run_mixer_cfgs": run_mixer_cfgs if mixer_on else None,
     }
+
+
+def extract_run_params(result: dict[str, Any], r: int) -> tuple[dict, Any]:
+    """Run r's final params at its cell's TRUE mixer shape, plus the matching
+    ModelConfig — ready for `models.loading.save_model`."""
+    params_r = jax.tree.map(lambda p: p[r], result["params_stacked"])
+    cfg = result["config"]
+    mixer_cfgs = result.get("run_mixer_cfgs")
+    if mixer_cfgs is not None and "mixer" in params_r:
+        mc = mixer_cfgs[r]
+        params_r = dict(params_r)
+        params_r["mixer"] = slice_mixer_params(params_r["mixer"], mc)
+        cfg = dataclasses.replace(cfg, mixer=mc)
+    return params_r, cfg
 
 
 def _stack_val(X, image, y, splits):

@@ -90,3 +90,32 @@ def test_experiment_end_to_end(tmp_path):
     assert (tmp_path / "results.json").exists()
     row = study.results_table()[0]
     assert row["n_completed_seeds"] == 1
+
+
+def test_study_results_collation(tmp_path):
+    """CSV matches the reference charts format (`mmpfn/charts/pad_ufes_20.csv`:
+    tab-separated mgm_heads/cap_heads/mean/std) and the text grid marks the
+    best cell — replaces the hand-collated draw_charts pipeline."""
+    from multimodalpfn_tpu.hpo.study import GridStudy, Trial
+
+    st = GridStudy(search_space={"mgm_heads": [2, 4], "cap_heads": [2, 4]})
+    for i, (m, c) in enumerate([(2, 2), (2, 4), (4, 2), (4, 4)]):
+        t = Trial(number=i, params={"mgm_heads": m, "cap_heads": c})
+        st.trials.append(t)
+        if m < c:
+            t.state = "pruned"
+            continue
+        t.value = 0.8 + 0.01 * i
+        t.state = "complete"
+        t.set_user_attr("std_accuracy", 0.01)
+
+    path = tmp_path / "chart.csv"
+    st.to_csv(path, scale=100)
+    lines = path.read_text().strip().split("\n")
+    assert lines[0] == "mgm_heads\tcap_heads\tmean\tstd"
+    assert lines[1] == "2\t2\t80.0\t1.0"
+    assert len(lines) == 4  # pruned cell excluded
+
+    table = st.summary_table(scale=100)
+    assert "83.00±1.00*" in table  # best cell marked
+    assert "-" in table  # pruned cell rendered as absent
