@@ -91,10 +91,12 @@ def _group_and_run(
     bucket_test_rows: bool = True,
 ) -> list[np.ndarray]:
     """Stack same-width members into batched forwards; return per-member logits."""
+    on_accel = jax.devices()[0].platform not in ("cpu",)
     run_cfg = dataclasses.replace(
         cfg,
         compute_dtype="bfloat16" if autocast else "float32",
-        use_flash=jax.devices()[0].platform not in ("cpu",),
+        use_flash=on_accel,
+        fused_ops=on_accel,
     )
 
     # bucket the test-row count (compile-cache friendliness for repeated predicts)
@@ -170,8 +172,10 @@ def _group_and_run(
                 single_eval_pos=sep,
             )
             pending.append((idxs[sl], logits))
-    for chunk_idxs, logits in pending:
-        logits = np.asarray(jax.device_get(logits))
+    # ONE host sync for every group (the remote-TPU tunnel costs ~30ms/sync)
+    fetched = jax.device_get([logits for _, logits in pending])
+    for (chunk_idxs, _), logits in zip(pending, fetched):
+        logits = np.asarray(logits)
         if pad_rows:
             logits = logits[:, :-pad_rows]
         for j, i in enumerate(chunk_idxs):
@@ -325,10 +329,12 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
     caches: dict | None = None  # (width, sep) group -> (TrainsetCache, member idxs)
 
     def _prime(self):
+        on_accel = jax.devices()[0].platform not in ("cpu",)
         run_cfg = dataclasses.replace(
             self.cfg,
             compute_dtype="bfloat16" if self.autocast else "float32",
-            use_flash=jax.devices()[0].platform not in ("cpu",),
+            use_flash=on_accel,
+            fused_ops=on_accel,
         )
         self._run_cfg = run_cfg
         groups: dict[tuple, list[int]] = {}

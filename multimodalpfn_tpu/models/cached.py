@@ -173,6 +173,31 @@ class TrainsetCache(NamedTuple):
     kv0: jnp.ndarray  # (L, b, t, S_tr, 2, d) item-attn KV head 0 per layer
 
 
+
+def _feat_sublayer(st, lp, cd, cfg):
+    """Feature attention + residual + post-norm; fused Pallas sublayer on
+    accelerators (cfg.fused_ops), XLA formulation otherwise."""
+    if cfg.fused_ops:
+        from multimodalpfn_tpu.ops.pallas_fused import fused_feature_attention_ln
+
+        return fused_feature_attention_ln(
+            st.astype(cd), lp["attn_feat"]["w_qkv"], lp["attn_feat"]["w_out"]
+        )
+    h = self_attention(
+        st, lp["attn_feat"]["w_qkv"], lp["attn_feat"]["w_out"], compute_dtype=cd
+    )
+    return _layer_norm(st + h).astype(cd)
+
+
+def _mlp_sublayer(st, lp, cd, cfg):
+    if cfg.fused_ops:
+        from multimodalpfn_tpu.ops.pallas_fused import fused_mlp_ln
+
+        return fused_mlp_ln(st.astype(cd), lp["mlp"]["w1"], lp["mlp"]["w2"])
+    h = _mlp(st, lp["mlp"]["w1"], lp["mlp"]["w2"], cd)
+    return _layer_norm(st + h).astype(cd)
+
+
 def prime_cache(
     params: dict,
     cfg: ModelConfig,
@@ -219,10 +244,7 @@ def _prime_impl(params, cfg, x_train, y_train, image_train):
         # KV of this layer's item attention, head 0, from the pre-layer state's
         # post-feature-attn representation (reference caches inside the train
         # self-attention call, `layer.py:362-372`)
-        h = self_attention(
-            st, lp["attn_feat"]["w_qkv"], lp["attn_feat"]["w_out"], compute_dtype=cd
-        )
-        st = _layer_norm(st + h).astype(cd)
+        st = _feat_sublayer(st, lp, cd, cfg)
         sti = jnp.swapaxes(st, 1, 2)  # (b, t, s, e)
         wk = lp["attn_item"]["w_qkv"][1, 0]
         wv = lp["attn_item"]["w_qkv"][2, 0]
@@ -235,8 +257,7 @@ def _prime_impl(params, cfg, x_train, y_train, image_train):
         h = mha(sti, sti, lp["attn_item"]["w_qkv"], lp["attn_item"]["w_out"],
                 compute_dtype=cd)
         st = _layer_norm(st + jnp.swapaxes(h, 1, 2)).astype(cd)
-        h = _mlp(st, lp["mlp"]["w1"], lp["mlp"]["w2"], cd)
-        st = _layer_norm(st + h).astype(cd)
+        st = _mlp_sublayer(st, lp, cd, cfg)
         return st, kv0
 
     _, kv0 = jax.lax.scan(body, state, params["layers"])
@@ -285,10 +306,7 @@ def _forward_cached_impl(params, cfg, cache, x_test, image_test):
     def body(carry, layer_in):
         lp, kv0 = layer_in
         st = carry
-        h = self_attention(
-            st, lp["attn_feat"]["w_qkv"], lp["attn_feat"]["w_out"], compute_dtype=cd
-        )
-        st = _layer_norm(st + h).astype(cd)
+        st = _feat_sublayer(st, lp, cd, cfg)
         sti = jnp.swapaxes(st, 1, 2)  # (b, t, s_te, e)
         wq = lp["attn_item"]["w_qkv"][0]
         q = jnp.einsum("btsi,hdi->btshd", sti.astype(cd), wq.astype(cd),
@@ -305,8 +323,7 @@ def _forward_cached_impl(params, cfg, cache, x_test, image_test):
                        lp["attn_item"]["w_out"].astype(cd),
                        preferred_element_type=jnp.float32)
         st = _layer_norm(st + jnp.swapaxes(h, 1, 2)).astype(cd)
-        h = _mlp(st, lp["mlp"]["w1"], lp["mlp"]["w2"], cd)
-        st = _layer_norm(st + h).astype(cd)
+        st = _mlp_sublayer(st, lp, cd, cfg)
         return st, None
 
     state, _ = jax.lax.scan(body, state, (params["layers"], cache.kv0))

@@ -71,6 +71,9 @@ class ModelConfig:
     # Requires running under jax.set_mesh(...) with this axis present and the
     # train-row count divisible by the axis size.
     seq_shard_axis: str | None = None
+    # fused row-local sublayer kernels (feature-attention+LN, MLP+LN) for the
+    # inference path (ops/pallas_fused.py); ignored under train=True
+    fused_ops: bool = False
 
     @property
     def nhid(self) -> int:

@@ -38,19 +38,24 @@ def _layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def _mlp(x: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray, compute_dtype) -> jnp.ndarray:
-    """Bias-free 2-layer GELU MLP (reference `mlp.py:59-104`, exact erf gelu)."""
+    """Bias-free 2-layer GELU MLP (reference `mlp.py:59-104`, exact erf gelu).
+
+    Matmuls accumulate in f32 on the MXU regardless; emitting the compute dtype
+    (f32 in parity mode — identical to before; bf16 in production) halves the
+    HBM traffic of the (…, nhid) intermediate, the measured bottleneck."""
+    acc = jnp.dtype(compute_dtype)
     h = jnp.einsum(
         "...e,eh->...h",
         x.astype(compute_dtype),
         w1.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
     h = jax.nn.gelu(h, approximate=False)
     return jnp.einsum(
         "...h,he->...e",
-        h.astype(compute_dtype),
+        h,
         w2.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
 
 
@@ -72,17 +77,30 @@ def encoder_layer(
     target token).
     """
     cd = jnp.dtype(cfg.compute_dtype)
+    fused = cfg.fused_ops and token_valid is None
     # --- attention between feature tokens (within each sample) ---
-    h = self_attention(
-        state,
-        layer_params["attn_feat"]["w_qkv"],
-        layer_params["attn_feat"]["w_out"],
-        compute_dtype=cd,
-        key_mask=token_valid,
-    )
-    # residuals/LN run in fp32 (einsum outputs are fp32-accumulated); cast back to
-    # the compute dtype so the scan carry dtype is stable in bf16 mode
-    state = _layer_norm(state + h).astype(cd)
+    if fused:
+        from multimodalpfn_tpu.ops.pallas_fused import (
+            fused_feature_attention_ln,
+            fused_mlp_ln,
+        )
+
+        state = fused_feature_attention_ln(
+            state.astype(cd),
+            layer_params["attn_feat"]["w_qkv"],
+            layer_params["attn_feat"]["w_out"],
+        )
+    else:
+        h = self_attention(
+            state,
+            layer_params["attn_feat"]["w_qkv"],
+            layer_params["attn_feat"]["w_out"],
+            compute_dtype=cd,
+            key_mask=token_valid,
+        )
+        # residuals/LN run in fp32 (accumulated outputs); cast back to the
+        # compute dtype so the scan carry dtype is stable in bf16 mode
+        state = _layer_norm(state + h).astype(cd)
     # --- attention between items (per feature token) ---
     st = jnp.swapaxes(state, 1, 2)  # (b, t, s, e)
     h = item_attention(
@@ -97,6 +115,10 @@ def encoder_layer(
     )
     state = _layer_norm(state + jnp.swapaxes(h, 1, 2)).astype(cd)
     # --- MLP ---
+    if fused:
+        return fused_mlp_ln(
+            state, layer_params["mlp"]["w1"], layer_params["mlp"]["w2"]
+        )
     h = _mlp(state, layer_params["mlp"]["w1"], layer_params["mlp"]["w2"], cd)
     return _layer_norm(state + h).astype(cd)
 
@@ -178,6 +200,9 @@ def _forward_impl(
     feat_pos_noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray | dict[str, Any]:
     sep = single_eval_pos
+    if train and cfg.fused_ops:
+        # fused sublayer kernels are inference-only (no VJP defined)
+        cfg = cfg.replace(fused_ops=False)
     b = y_train.shape[0]
     S = x.shape[1] if x is not None else image.shape[1]
 

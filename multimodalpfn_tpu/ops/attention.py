@@ -55,6 +55,10 @@ def mha(
     d = w_qkv.shape[2]
     scale = 1.0 / math.sqrt(d)
     cd = compute_dtype
+    # MXU accumulation is f32 internally regardless; emitting the compute dtype
+    # (f32 in parity mode — identical to before; bf16 in production) halves the
+    # HBM traffic of materialized intermediates, the measured bottleneck.
+    acc = jnp.dtype(cd)
     xq = x_q.astype(cd)
     xkv = x_kv.astype(cd)
     wq = w_qkv[0].astype(cd)
@@ -77,52 +81,52 @@ def mha(
             # multiquery: fold query heads into the lane (sequence) axis and
             # attend against the single shared KV head
             q3 = jnp.einsum(
-                "...si,hdi->...dhs", xq, wq, preferred_element_type=jnp.float32
-            ).astype(cd).reshape(B, d, h * Sq)
+                "...si,hdi->...dhs", xq, wq, preferred_element_type=acc
+            ).reshape(B, d, h * Sq)
             k3 = jnp.einsum(
-                "...si,di->...ds", xkv, wk[0], preferred_element_type=jnp.float32
-            ).astype(cd).reshape(B, d, Skv)
+                "...si,di->...ds", xkv, wk[0], preferred_element_type=acc
+            ).reshape(B, d, Skv)
             v3 = jnp.einsum(
-                "...si,di->...ds", xkv, wv[0], preferred_element_type=jnp.float32
-            ).astype(cd).reshape(B, d, Skv)
+                "...si,di->...ds", xkv, wv[0], preferred_element_type=acc
+            ).reshape(B, d, Skv)
             o = flash_mha_t(q3, k3, v3).reshape(*lead, d, h, Sq)
             return jnp.einsum(
                 "...dhq,hdo->...qo",
                 o.astype(cd),
                 w_out.astype(cd),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc,
             )
         q3 = jnp.einsum(
-            "...si,hdi->...hds", xq, wq, preferred_element_type=jnp.float32
-        ).astype(cd).reshape(B * h, d, Sq)
+            "...si,hdi->...hds", xq, wq, preferred_element_type=acc
+        ).reshape(B * h, d, Sq)
         k3 = jnp.einsum(
-            "...si,hdi->...hds", xkv, wk, preferred_element_type=jnp.float32
-        ).astype(cd).reshape(B * h, d, Skv)
+            "...si,hdi->...hds", xkv, wk, preferred_element_type=acc
+        ).reshape(B * h, d, Skv)
         v3 = jnp.einsum(
-            "...si,hdi->...hds", xkv, wv, preferred_element_type=jnp.float32
-        ).astype(cd).reshape(B * h, d, Skv)
+            "...si,hdi->...hds", xkv, wv, preferred_element_type=acc
+        ).reshape(B * h, d, Skv)
         o = flash_mha_t(q3, k3, v3).reshape(*lead, h, d, Sq)
         return jnp.einsum(
             "...hdq,hdo->...qo",
             o.astype(cd),
             w_out.astype(cd),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
 
-    q = jnp.einsum("...si,hdi->...shd", xq, wq, preferred_element_type=jnp.float32)
+    q = jnp.einsum("...si,hdi->...shd", xq, wq, preferred_element_type=acc)
     if kv_head0_only:
         k = jnp.einsum(
-            "...si,di->...sd", xkv, wk[0], preferred_element_type=jnp.float32
+            "...si,di->...sd", xkv, wk[0], preferred_element_type=acc
         )
         v = jnp.einsum(
-            "...si,di->...sd", xkv, wv[0], preferred_element_type=jnp.float32
+            "...si,di->...sd", xkv, wv[0], preferred_element_type=acc
         )
         logits = (
             jnp.einsum(
                 "...qhd,...kd->...hqk",
                 q.astype(cd),
                 k.astype(cd),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc,
             )
             * scale
         )
@@ -133,17 +137,17 @@ def mha(
             "...hqk,...kd->...qhd",
             p.astype(cd),
             v.astype(cd),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
     else:
-        k = jnp.einsum("...si,hdi->...shd", xkv, wk, preferred_element_type=jnp.float32)
-        v = jnp.einsum("...si,hdi->...shd", xkv, wv, preferred_element_type=jnp.float32)
+        k = jnp.einsum("...si,hdi->...shd", xkv, wk, preferred_element_type=acc)
+        v = jnp.einsum("...si,hdi->...shd", xkv, wv, preferred_element_type=acc)
         logits = (
             jnp.einsum(
                 "...qhd,...khd->...hqk",
                 q.astype(cd),
                 k.astype(cd),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc,
             )
             * scale
         )
@@ -154,13 +158,13 @@ def mha(
             "...hqk,...khd->...qhd",
             p.astype(cd),
             v.astype(cd),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
         )
     return jnp.einsum(
         "...qhd,hdo->...qo",
         o.astype(cd),
         w_out.astype(cd),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
 
 
@@ -191,6 +195,7 @@ def _ring_mha(
     from multimodalpfn_tpu.parallel.ring_attention import ring_attention
 
     cd = compute_dtype
+    acc = jnp.dtype(cd)
     d = w_qkv.shape[2]
     h = w_qkv.shape[1]
     lead = x_q.shape[:-2]
@@ -203,33 +208,33 @@ def _ring_mha(
     wq, wk, wv = (w_qkv[i].astype(cd) for i in range(3))
     if kv_head0_only:
         q = jnp.einsum(
-            "...si,hdi->...hsd", xq, wq, preferred_element_type=jnp.float32
-        ).astype(cd).reshape(B, 1, h * Sq, d)
+            "...si,hdi->...hsd", xq, wq, preferred_element_type=acc
+        ).reshape(B, 1, h * Sq, d)
         k = jnp.einsum(
-            "...si,di->...sd", xkv, wk[0], preferred_element_type=jnp.float32
-        ).astype(cd).reshape(B, 1, Skv, d)
+            "...si,di->...sd", xkv, wk[0], preferred_element_type=acc
+        ).reshape(B, 1, Skv, d)
         v = jnp.einsum(
-            "...si,di->...sd", xkv, wv[0], preferred_element_type=jnp.float32
-        ).astype(cd).reshape(B, 1, Skv, d)
+            "...si,di->...sd", xkv, wv[0], preferred_element_type=acc
+        ).reshape(B, 1, Skv, d)
         o = ring_attention(q, k, v, axis=ring_axis, sm_scale=1.0 / _math.sqrt(d))
         o = o.reshape(*lead, h, Sq, d)
     else:
         q = jnp.einsum(
-            "...si,hdi->...hsd", xq, wq, preferred_element_type=jnp.float32
-        ).astype(cd).reshape(B, h, Sq, d)
+            "...si,hdi->...hsd", xq, wq, preferred_element_type=acc
+        ).reshape(B, h, Sq, d)
         k = jnp.einsum(
-            "...si,hdi->...hsd", xkv, wk, preferred_element_type=jnp.float32
-        ).astype(cd).reshape(B, h, Skv, d)
+            "...si,hdi->...hsd", xkv, wk, preferred_element_type=acc
+        ).reshape(B, h, Skv, d)
         v = jnp.einsum(
-            "...si,hdi->...hsd", xkv, wv, preferred_element_type=jnp.float32
-        ).astype(cd).reshape(B, h, Skv, d)
+            "...si,hdi->...hsd", xkv, wv, preferred_element_type=acc
+        ).reshape(B, h, Skv, d)
         o = ring_attention(q, k, v, axis=ring_axis, sm_scale=1.0 / _math.sqrt(d))
         o = o.reshape(*lead, h, Sq, d)
     return jnp.einsum(
         "...hqd,hdo->...qo",
         o.astype(cd),
         w_out.astype(cd),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
     )
 
 

@@ -67,6 +67,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _fit_block(size: int, block_max: int) -> int:
+    """Largest <=block_max lane-block that minimizes padding: split size into
+    the fewest blocks, then size the block to the split (e.g. Sq=2796 with
+    block_max=2048 -> 2x1408 = 2816 lanes instead of 2x2048 = 4096)."""
+    n_blocks = -(-size // block_max)
+    return _round_up(-(-size // n_blocks), LANES)
+
+
 def _pad_lanes(x: jnp.ndarray, to: int) -> jnp.ndarray:
     pad = to - x.shape[-1]
     if pad == 0:
@@ -164,7 +172,7 @@ def _fwd_impl(q3, k3, v3, *, sm_scale, block_q, block_kv):
     """q3: (G, d, Sq); k3/v3: (G, d, Skv). Returns (o (G,d,Sq) f32, lse (G,1,Sq))."""
     G, d, Sq = q3.shape
     kv_len = k3.shape[2]
-    block_q = min(block_q, _round_up(Sq, LANES))
+    block_q = _fit_block(Sq, block_q)
     chunk = min(block_kv, _round_up(kv_len, LANES))
     skv_pad = _round_up(kv_len, chunk)
     sq_pad = _round_up(Sq, block_q)
@@ -332,7 +340,7 @@ def _bwd_impl(q3, k3, v3, o3, lse, do3, *, sm_scale, block_q, block_kv):
     do3 = do3.astype(q3.dtype)
 
     # --- dq: grid over (g, q-block), stream KV chunks ---
-    block_q_g = min(block_q, _round_up(Sq, LANES))
+    block_q_g = _fit_block(Sq, block_q)
     chunk_kv = min(block_kv, _round_up(kv_len, LANES))
     sq_pad = _round_up(Sq, block_q_g)
     skv_pad = _round_up(kv_len, chunk_kv)
