@@ -186,11 +186,14 @@ def fine_tune_mmpfn(
         logger.info("resumed fine-tuning at step %d", start_step)
 
     # ---- compiled validation forward (context = train rows, queries = val rows)
+    # validation is inference: the fused row-local sublayer kernels apply
+    val_cfg = dataclasses.replace(cfg, fused_ops=on_accel)
+
     @jax.jit
     def val_forward(p):
         return forward_train_test(
             p,
-            cfg,
+            val_cfg,
             None if X_train is None else jnp.asarray(X_train, jnp.float32)[None],
             jnp.asarray(y_train)[None],
             None if X_val is None else jnp.asarray(X_val, jnp.float32)[None],

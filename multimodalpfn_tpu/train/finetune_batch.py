@@ -282,11 +282,16 @@ def fine_tune_batched_cells(
     # vmapped validation forward (per-run split context)
     val_data = _stack_val(X, image, y, splits)
 
+    # validation is inference: the fused row-local sublayer kernels apply
+    val_cfg = dataclasses.replace(
+        cfg, fused_ops=on_accel and not extras  # fused path needs static masks
+    )
+
     @jax.jit
     def val_logits(params_s):
         return jax.vmap(
             lambda p, d, ex: forward_train_test(
-                p, cfg,
+                p, val_cfg,
                 d.get("x_train"), d["y_train"], d.get("x_val"),
                 d.get("image_train"), d.get("image_val"),
                 mgm_active=ex.get("mgm_active"),

@@ -120,6 +120,38 @@ def measure_subset(X, emb, y, n_rows: int) -> dict:
     }
 
 
+def main_full():
+    """MEASURE the full 2298-row run outright (~13 min on the 1-core CPU) and
+    replace the extrapolated baseline with the observed number."""
+    X, emb, y = pad_ufes_like(seed=0)
+    full_rows = len(X)
+    run = measure_subset(X, emb, y, full_rows)
+    print(run, flush=True)
+    out = REPO / "bench_baseline.json"
+    prior = json.loads(out.read_text()) if out.exists() else {}
+    baseline = {
+        "metric": "PAD-UFES-20-shaped fit+predict test samples/sec (torch reference)",
+        "hardware": "1-core CPU (torch 2.13 cpu); reference repo /root/reference",
+        "config": {
+            "rows": full_rows, "features": X.shape[1], "image_tokens": 1,
+            "mixer": f"MGM+CAP ({BENCH_MGM},{BENCH_CAP})",
+            "n_estimators": BENCH_EST, "nlayers": 12, "emsize": 192,
+        },
+        "full_run": run,
+        "subset_runs": prior.get("subset_runs"),
+        "extrapolated_full_total_s": prior.get("extrapolated_full_total_s"),
+        "samples_per_sec": run["n_test"] / run["total_s"],
+        "note": (
+            "MEASURED single full-scale fit+predict of the torch reference on "
+            "the 1-core CPU (no extrapolation). Published weights unavailable: "
+            "random weights, identical architecture/compute. The earlier "
+            "subset-extrapolated estimate is kept alongside for comparison."
+        ),
+    }
+    out.write_text(json.dumps(baseline, indent=2))
+    print(json.dumps(baseline, indent=2), flush=True)
+
+
 def main():
     X, emb, y = pad_ufes_like(seed=0)
     sizes = [150, 300, 600]
@@ -159,4 +191,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--full" in sys.argv:
+        main_full()
+    else:
+        main()
