@@ -226,18 +226,9 @@ def finetune_protocol_seconds(X, emb, y) -> tuple[float, float]:
 def main() -> None:
     # persistent compilation cache: repeated bench runs (and the 100-step
     # protocol below) skip recompiles when supported by the backend
-    import os
+    from multimodalpfn_tpu.utils.compile_cache import enable_persistent_cache
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mmpfn_jax_cache")
-    import jax
-
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_persistent_cache()
 
     from multimodalpfn_tpu.datasets.synthetic import pad_ufes_like
 

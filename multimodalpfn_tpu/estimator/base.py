@@ -62,6 +62,9 @@ def initialize_model(
     - ``"random"`` / ``"random:<seed>"``: fresh random initialization with the
       published architecture — for benchmarking/testing without weights.
     """
+    from multimodalpfn_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     mixer = MixerConfig(
         mixer_type=mixer_type, mgm_heads=mgm_heads, cap_heads=cap_heads
     )

@@ -104,7 +104,9 @@ class FullSupportBarDistribution:
     def mean(self, logits):
         """reference `bar_distribution.py:588-598`: tail buckets use the
         half-normal means."""
-        bucket_means = self.borders[:-1] + self.bucket_widths / 2
+        # jnp.asarray: borders may be host numpy (kept numpy so jit closures
+        # embed them as host constants), and numpy arrays lack `.at`
+        bucket_means = jnp.asarray(self.borders[:-1] + self.bucket_widths / 2)
         s0, s1 = self._side_scales()
         bucket_means = bucket_means.at[0].set(-_halfnormal_mean(s0) + self.borders[1])
         bucket_means = bucket_means.at[-1].set(
@@ -117,7 +119,7 @@ class FullSupportBarDistribution:
         """reference `bar_distribution.py:600-627` (reproducing its tail formula,
         including the variance-in-mean quirk on the right tail)."""
         lb, rb = self.borders[:-1], self.borders[1:]
-        ms = (lb**2 + rb**2 + lb * rb) / 3.0
+        ms = jnp.asarray((lb**2 + rb**2 + lb * rb) / 3.0)
         s0, s1 = self._side_scales()
         ms = ms.at[0].set(
             _halfnormal_var(s0) + (-_halfnormal_mean(s0) + self.borders[1]) ** 2

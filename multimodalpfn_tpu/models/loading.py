@@ -175,7 +175,7 @@ def save_native(path: str | Path, params: dict, cfg: ModelConfig, **extras: Any)
         ckptr.save(
             path,
             {
-                "params": jax.tree.map(np.asarray, params),
+                "params": jax.device_get(params),  # one batched fetch
                 "config": dataclasses.asdict(cfg),
                 "extras": extras,
             },

@@ -232,10 +232,15 @@ def slice_mixer_params(p: Params, cfg_active: MixerConfig) -> Params:
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(1,), static_argnames=("model_seed",))
 def init_params(key, cfg: ModelConfig, model_seed: int = 0) -> Params:
     """Fresh random init of the whole model (matching reference init distributions:
     zero-init output projections `layer.py:192,232`, attn input init
-    `multi_head_attention.py:149-162`, torch Linear defaults elsewhere)."""
+    `multi_head_attention.py:149-162`, torch Linear defaults elsewhere).
+
+    Jitted as ONE program: the ~40 per-leaf random draws would otherwise each
+    run as a separate eagerly-compiled op (a full compile round trip per leaf
+    on a remote backend)."""
     e, h, d, L, nhid = cfg.emsize, cfg.nhead, cfg.d_head, cfg.nlayers, cfg.nhid
     fpg = cfg.features_per_group
     keys = jax.random.split(key, 16)
@@ -449,6 +454,10 @@ def export_torch_state_dict(params: Params, cfg: ModelConfig) -> dict[str, np.nd
     """Inverse of `convert_torch_state_dict` for the core weights (used to save
     fine-tuned checkpoints the reference loader can consume). Encoder step indices
     follow the reference's default encoder construction (`loading.py:308-398`)."""
+    # One batched device->host fetch of the whole tree up front: the per-key
+    # np.asarray calls below would otherwise each be a separate round trip
+    # (ruinous over a high-latency remote-device link).
+    params = jax.device_get(params)
     enc_idx = 2 + int(cfg.remove_empty_features) + int(cfg.remove_duplicate_features)
     enc_idx += 2 if cfg.nan_handling_enabled else 0
     y_idx = (1 if cfg.nan_handling_y_encoder else 0) + (

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import threading
 import time
 from pathlib import Path
 from typing import Any
@@ -36,6 +37,7 @@ from multimodalpfn_tpu.train.data import EpisodeSampler
 from multimodalpfn_tpu.train.early_stopping import AdaptiveES
 from multimodalpfn_tpu.train.losses import get_loss_fn
 from multimodalpfn_tpu.train.metrics import get_scorer
+from multimodalpfn_tpu.train.snapshots import AsyncSnapshotWriter
 from multimodalpfn_tpu.train.step import (
     eval_params,
     frozen_input_mask,
@@ -43,10 +45,17 @@ from multimodalpfn_tpu.train.step import (
     make_optimizer,
     make_train_step,
 )
+from multimodalpfn_tpu.utils.compile_cache import enable_persistent_cache
 
 logger = logging.getLogger(__name__)
 
 CLASSIFICATION_TASKS = ("multiclass", "multiclass_classification", "binary", "binary_classification")
+
+
+def _save_train_state_file(path, state) -> None:
+    from multimodalpfn_tpu.train.step import save_train_state
+
+    save_train_state(path, state)
 
 
 def _canon_task(task_type: str) -> str:
@@ -115,7 +124,9 @@ def fine_tune_mmpfn(
 ) -> dict[str, Any]:
     """Fine-tune and save best-by-validation snapshots. Returns a history dict."""
     logger.setLevel(logger_level)
+    enable_persistent_cache()
     st_time = time.time()
+    phase_seconds: dict[str, float] = {}
     task = _canon_task(task_type)
     is_classification = task != "regression"
     cfg_hp = {
@@ -130,6 +141,7 @@ def fine_tune_mmpfn(
         **(finetuning_config or {}),
     }
 
+    t_phase = time.time()
     loaded = initialize_model(
         model_path=path_to_base_model,
         which="classifier" if is_classification else "regressor",
@@ -139,6 +151,7 @@ def fine_tune_mmpfn(
         cap_heads=cap_heads,
         features_per_group=features_per_group,
     )
+    phase_seconds["model_init"] = time.time() - t_phase
     cfg = loaded.config
     on_accel = jax.devices()[0].platform not in ("cpu",)
     if compute_dtype is None:
@@ -161,17 +174,21 @@ def fine_tune_mmpfn(
     # ---- losses / metrics
     borders = None
     if task == "regression":
-        borders = jnp.asarray(np.asarray(loaded.criterion_borders, dtype=np.float32))
+        # stays numpy: a closed-over DEVICE array would be embedded as an HLO
+        # constant that lowering reads back from the device
+        borders = np.asarray(loaded.criterion_borders, dtype=np.float32)
     loss_fn = get_loss_fn(task, borders)
     scorer = get_scorer(validation_metric)
 
     # ---- optimizer + step
+    t_phase = time.time()
     mask = frozen_input_mask(params, freeze_input)
     tx = make_optimizer(
         cfg_hp["learning_rate"], optimizer=cfg_hp["optimizer"], freeze_mask=mask
     )
     state = init_train_state(params, tx)
     train_step = make_train_step(cfg, loss_fn, tx, remat=True)
+    phase_seconds["optimizer_setup"] = time.time() - t_phase
     is_sf = cfg_hp["optimizer"] == "schedule_free_adamw"
 
     # exact resume (params + optimizer state + step) — beyond the reference,
@@ -186,19 +203,34 @@ def fine_tune_mmpfn(
         logger.info("resumed fine-tuning at step %d", start_step)
 
     # ---- compiled validation forward (context = train rows, queries = val rows)
-    # validation is inference: the fused row-local sublayer kernels apply
+    # validation is inference: the fused row-local sublayer kernels apply.
+    # The validation set is passed as jit ARGUMENTS, not closed over: a
+    # closed-over device array becomes an HLO constant that lowering reads
+    # back from the device — minutes over a remote-accelerator link.
     val_cfg = dataclasses.replace(cfg, fused_ops=on_accel)
+    # Staged on host in numpy (an eager device `[None]` reshape is a compiled
+    # op on a remote backend), then moved once with a single device_put so the
+    # per-step fused program doesn't re-upload the validation set.
+    val_data = jax.device_put(
+        {
+            "x_tr": None
+            if X_train is None
+            else np.asarray(X_train, np.float32)[None],
+            "y_tr": np.asarray(y_train, np.float32)[None],
+            "x_va": None if X_val is None else np.asarray(X_val, np.float32)[None],
+            "i_tr": None
+            if image_train is None
+            else np.asarray(image_train, np.float32)[None],
+            "i_va": None
+            if image_val is None
+            else np.asarray(image_val, np.float32)[None],
+        }
+    )
 
     @jax.jit
-    def val_forward(p):
+    def val_forward(p, vd):
         return forward_train_test(
-            p,
-            val_cfg,
-            None if X_train is None else jnp.asarray(X_train, jnp.float32)[None],
-            jnp.asarray(y_train)[None],
-            None if X_val is None else jnp.asarray(X_val, jnp.float32)[None],
-            None if image_train is None else jnp.asarray(image_train, jnp.float32)[None],
-            None if image_val is None else jnp.asarray(image_val, jnp.float32)[None],
+            p, val_cfg, vd["x_tr"], vd["y_tr"], vd["x_va"], vd["i_tr"], vd["i_va"]
         )
 
     def score_val_logits(logits: np.ndarray) -> float:
@@ -221,7 +253,7 @@ def fine_tune_mmpfn(
         return scorer.convert_score_to_error(score)
 
     def validate(p) -> float:
-        return score_val_logits(np.asarray(val_forward(p))[0])
+        return score_val_logits(np.asarray(val_forward(p, val_data))[0])
 
     # Fused step+validation: when validating every step (the reference
     # protocol), one compiled program per step and ONE host fetch — the axon
@@ -229,11 +261,19 @@ def fine_tune_mmpfn(
     # fetches dominated the steady-state step time.
     validate_inline = int(cfg_hp["validate_every_n_steps"]) == 1
 
+    # ``apply_update`` is a traced 0/1 scalar: with 0 the state (params AND
+    # optimizer moments) passes through unchanged, so the same compiled
+    # program also serves the pre-training validation — the whole protocol
+    # compiles ONE large XLA program instead of two (each compile costs tens
+    # of seconds on a remote backend).
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_and_val(state, batch, rng):
+    def step_and_val(state, batch, rng, apply_update):
         new_state, metrics = train_step(state, batch, rng)
+        new_state = jax.tree.map(
+            lambda n, o: jnp.where(apply_update, n, o), new_state, state
+        )
         p_eval = eval_params(new_state, is_sf)
-        return new_state, metrics, val_forward(p_eval)
+        return new_state, metrics, val_forward(p_eval, val_data)
 
     save_path = Path(save_path_to_fine_tuned_model)
     save_path.parent.mkdir(parents=True, exist_ok=True)
@@ -245,10 +285,62 @@ def fine_tune_mmpfn(
             criterion_borders=loaded.criterion_borders,
         )
 
+    # Snapshots are written by a background thread (the device->host fetch can
+    # be minutes over a remote-accelerator link; see train/snapshots.py). The
+    # submitted pytree is device-copied first because the live `state` buffers
+    # are donated into the next step.
+    _snap_copy = jax.jit(lambda p: jax.tree.map(jnp.copy, p))
+    snap_writer = AsyncSnapshotWriter(save_snapshot)
+    state_writer = AsyncSnapshotWriter(
+        lambda st: _save_train_state_file(state_path, st)
+    )
+
+    will_train = int(cfg_hp["max_steps"]) > start_step
+
+    # In non-inline mode two programs exist (standalone validation + train
+    # step); overlap their compiles: a throwaway step on a COPIED state (the
+    # jit donates its input) compiles in the background while the initial
+    # validation compiles the inference program. JAX dedups in-flight
+    # compiles, so the real first step just waits for this one.
+    def _prewarm():
+        try:
+            warm_sampler = EpisodeSampler(
+                X=X_train, image=image_train, y=y_train,
+                is_classification=is_classification,
+            )
+            batch0 = warm_sampler.sample(episode_batch_size)
+            train_step(_snap_copy(state), batch0, jax.random.PRNGKey(0))
+        except Exception:  # pragma: no cover - prewarm is best-effort
+            logger.debug("compile prewarm failed", exc_info=True)
+
+    if will_train and not validate_inline:
+        threading.Thread(
+            target=_prewarm, name="mmpfn-compile-prewarm", daemon=True
+        ).start()
+
     # ---- initial validation + snapshot (reference `finetune_mmpfn_main.py:321,352`)
-    best_err = validate(state.params)
-    save_snapshot(state.params)
-    logger.info("initial validation error: %.5f", best_err)
+    t_phase = time.time()
+    if validate_inline and will_train:
+        # ride the fused program with apply_update=0: validates the INITIAL
+        # params through the one program the loop will reuse
+        warm_sampler = EpisodeSampler(
+            X=X_train, image=image_train, y=y_train,
+            is_classification=is_classification,
+        )
+        batch0 = warm_sampler.sample(episode_batch_size)
+        _st, _m, logits0 = step_and_val(
+            _snap_copy(state), batch0, jax.random.PRNGKey(random_seed), 0.0
+        )
+        best_err = score_val_logits(np.asarray(logits0)[0])
+        del _st, _m
+    else:
+        best_err = validate(state.params)
+    phase_seconds["initial_validation"] = time.time() - t_phase
+    snap_writer.submit(_snap_copy(state.params))
+    logger.info(
+        "initial validation error: %.5f (model init %.1fs, first validation %.1fs)",
+        best_err, phase_seconds["model_init"], phase_seconds["initial_validation"],
+    )
 
     sampler = EpisodeSampler(
         X=X_train, image=image_train, y=y_train, is_classification=is_classification
@@ -288,14 +380,12 @@ def fine_tune_mmpfn(
             logger.info("time limit reached at step %d", step_i)
             break
         if state_checkpoint_every and step_i % state_checkpoint_every == 0:
-            from multimodalpfn_tpu.train.step import save_train_state
-
-            save_train_state(state_path, state)
+            state_writer.submit(_snap_copy(state))
         batch = sampler.sample(episode_batch_size)
         key, sub = jax.random.split(key)
         val_logits = None
         if validate_inline:
-            state, metrics, val_logits_dev = step_and_val(state, batch, sub)
+            state, metrics, val_logits_dev = step_and_val(state, batch, sub, 1.0)
             fetched = jax.device_get(
                 {"loss": metrics["loss"], "gn": metrics["grad_norm"],
                  "vl": val_logits_dev}
@@ -328,7 +418,7 @@ def fine_tune_mmpfn(
             if is_best:
                 best_err = err
                 history["best_val_error"] = err
-                save_snapshot(p_eval)
+                snap_writer.submit(_snap_copy(p_eval))
             stop = es.update(cur_round=step_i, is_best=is_best)
             if use_early_stopping and stop:
                 history["step_seconds"].append(time.time() - t_iter)
@@ -338,7 +428,14 @@ def fine_tune_mmpfn(
 
     if pbar is not None:
         pbar.close()
+    # drain the async writers: guarantees the best torch-format snapshot and
+    # the resume state are on disk, and surfaces any background write error
+    t_phase = time.time()
+    snap_writer.close()
+    state_writer.close()
+    phase_seconds["final_snapshot_flush"] = time.time() - t_phase
     # orbax-native snapshot of the final state alongside the torch-format best
+    t_phase = time.time()
     save_native(
         str(save_path) + ".orbax",
         eval_params(state, is_sf),
@@ -346,5 +443,7 @@ def fine_tune_mmpfn(
         best_val_error=float(best_err),
         steps=float(history["steps"]),
     )
+    phase_seconds["final_native_snapshot"] = time.time() - t_phase
     history["wall_s"] = time.time() - st_time
+    history["phase_seconds"] = phase_seconds
     return history

@@ -11,6 +11,7 @@ the step jits over an explicit device mesh (dp episodes × mp tensor-parallel).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -76,9 +77,12 @@ def make_optimizer(
     return tx
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def eval_params(state: TrainState, tx_is_schedule_free: bool = True):
     """Schedule-free optimizers evaluate at the x-sequence, not the y-iterate
-    (reference uses AdamWScheduleFree's optimizer.eval() mode)."""
+    (reference uses AdamWScheduleFree's optimizer.eval() mode). Jitted as one
+    program — the per-leaf interpolation would otherwise run as ~40 separate
+    eagerly-compiled ops per validation."""
     if not tx_is_schedule_free:
         return state.params
     try:
@@ -128,9 +132,14 @@ def make_train_step(
 
 
 def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
-    return TrainState(
-        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
-    )
+    # One jitted program: optax inits run per-leaf eagerly otherwise, and each
+    # tiny eager op pays a full compile round trip on a remote backend.
+    def _init(p):
+        return TrainState(
+            params=p, opt_state=tx.init(p), step=jnp.zeros((), jnp.int32)
+        )
+
+    return jax.jit(_init)(params)
 
 
 # --- full-state checkpointing (params + optimizer state + step) --------------
@@ -141,10 +150,8 @@ def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainSta
 def save_train_state(path, state: TrainState) -> None:
     import numpy as np
 
-    leaves = jax.tree_util.tree_leaves(state)
-    np.savez(
-        path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    )
+    leaves = jax.device_get(jax.tree_util.tree_leaves(state))  # one batched fetch
+    np.savez(path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
 
 
 def restore_train_state(path, template: TrainState) -> TrainState:

@@ -1,0 +1,46 @@
+"""Persistent XLA compilation cache.
+
+The fine-tuning protocol (reference ``finetune_mmpfn_main.py:78``) pays one
+large XLA compile per (episode shape x architecture); the published experiment
+driver re-runs it grid x 5 seeds times in fresh processes (``run.py:26-201``).
+A persistent on-disk cache makes every later process skip those compiles.
+
+Enabled by default from the fine-tuning and estimator entry points. Override
+the location with ``MMPFN_JAX_CACHE_DIR`` (or the standard
+``JAX_COMPILATION_CACHE_DIR``); set ``MMPFN_JAX_CACHE_DIR=""`` to disable.
+"""
+
+from __future__ import annotations
+
+import os
+
+_configured = False
+
+
+def enable_persistent_cache() -> None:
+    """Idempotently point JAX at an on-disk compilation cache.
+
+    OPT-IN: only active when ``MMPFN_JAX_CACHE_DIR`` (or the standard
+    ``JAX_COMPILATION_CACHE_DIR``) is set. Measured on the remote-TPU tunnel,
+    cache WRITES serialize the executable through the device link and can
+    stall a compile by minutes, while a fresh compile of even the largest
+    program here is ~10-45 s — so the cache only pays on backends with cheap
+    executable serialization (local TPU/CPU), where the user can opt in.
+    """
+    global _configured
+    if _configured:
+        return
+    _configured = True
+    cache_dir = os.environ.get(
+        "MMPFN_JAX_CACHE_DIR", os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    )
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
