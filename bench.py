@@ -16,7 +16,9 @@ torch reference on the same config measured by tools/measure_reference_baseline.
     cost analysis; MFU vs the chip's bf16 peak.
   * ``finetune_100steps_s`` — wall-clock of the reference fine-tuning protocol
     (100 steps + per-step validation, bs 1, frozen input encoders) vs the
-    reference's measured 167.6 s on a CUDA GPU (BASELINE.md row 11).
+    reference's measured 167.6 s on a CUDA GPU (BASELINE.md row 11);
+    ``finetune_100steps_warm_s`` re-runs it with another seed in-process
+    (memoized programs — the HPO driver's regime after its first trial).
 
 Steady-state protocol: one warmup fit+predict (pays compile), then timed fresh
 fit+predict epochs with identical shapes (compile-cached, as in production reuse).
@@ -193,34 +195,46 @@ def train_step_mfu(n_chain: int = 8) -> dict:
     }
 
 
-def finetune_protocol_seconds(X, emb, y) -> tuple[float, float]:
+def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
     """The reference protocol: 100 steps + per-step validation, bs 1, frozen
     input encoders (reference 167.6 s on GPU, BASELINE.md). Returns
-    (wall_s incl. compile, steady-state s/iteration from the tail)."""
+    (cold wall_s incl. compile, warm wall_s, steady-state s/iteration).
+
+    The warm number re-runs the protocol with a different seed in the same
+    process: fine-tune programs are memoized across calls (seed-independent —
+    the subspace noise rides as a traced argument), which is the regime of the
+    reference experiment driver (grid x 5 seeds of runs per process,
+    `run.py:26-201`) for every trial after the first.
+    """
     from multimodalpfn_tpu.train.finetune import fine_tune_mmpfn
 
     ntr = int(len(X) * 0.8)
-    with tempfile.TemporaryDirectory() as td:
-        t0 = time.time()
-        hist = fine_tune_mmpfn(
-            mixer_type="MGM+CAP",
-            mgm_heads=BENCH_MGM,
-            cap_heads=BENCH_CAP,
-            features_per_group=1,
-            save_path_to_fine_tuned_model=Path(td) / "ft.ckpt",
-            path_to_base_model="random:0",
-            finetuning_config={"max_steps": 100, "validate_every_n_steps": 1},
-            X_train=X[:ntr],
-            image_train=emb[:ntr],
-            y_train=y[:ntr],
-            random_seed=0,
-            freeze_input=True,
-            logger_level=30,
-        )
-        wall = time.time() - t0
-        tail = hist.get("step_seconds", [])[5:]
-        steady = float(np.median(tail)) if tail else float("nan")
-        return wall, steady
+
+    def run(seed: int) -> tuple[float, list[float]]:
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.time()
+            hist = fine_tune_mmpfn(
+                mixer_type="MGM+CAP",
+                mgm_heads=BENCH_MGM,
+                cap_heads=BENCH_CAP,
+                features_per_group=1,
+                save_path_to_fine_tuned_model=Path(td) / "ft.ckpt",
+                path_to_base_model="random:0",
+                finetuning_config={"max_steps": 100, "validate_every_n_steps": 1},
+                X_train=X[:ntr],
+                image_train=emb[:ntr],
+                y_train=y[:ntr],
+                random_seed=seed,
+                freeze_input=True,
+                logger_level=30,
+            )
+            return time.time() - t0, hist.get("step_seconds", [])
+
+    wall_cold, _ = run(0)
+    wall_warm, steps = run(1)
+    tail = steps[5:]
+    steady = float(np.median(tail)) if tail else float("nan")
+    return wall_cold, wall_warm, steady
 
 
 def main() -> None:
@@ -248,9 +262,12 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - keep the headline metric alive
         extra["mfu_error"] = repr(e)[:200]
     try:
-        ft_s, steady = finetune_protocol_seconds(X, emb, y)
+        ft_s, ft_warm_s, steady = finetune_protocol_seconds(X, emb, y)
         extra["finetune_100steps_s"] = round(ft_s, 1)
         extra["finetune_vs_reference_gpu"] = round(167.6 / ft_s, 2)
+        # warm = every HPO trial after the first in a process (program cache)
+        extra["finetune_100steps_warm_s"] = round(ft_warm_s, 1)
+        extra["finetune_warm_vs_reference_gpu"] = round(167.6 / ft_warm_s, 2)
         # steady-state = step + validation + episode sampling, compile excluded
         extra["finetune_steady_s_per_step"] = round(steady, 3)
         extra["finetune_steady_vs_reference_gpu"] = round(1.676 / steady, 2)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
 import logging
 import threading
 import time
@@ -91,6 +92,107 @@ def create_val_data(*, X, image, y, rng, is_classification):
         im_tr, im_va = next(it), next(it)
     y_tr, y_va = next(it), next(it)
     return X_tr, X_va, im_tr, im_va, y_tr, y_va
+
+
+# Device-side pytree copy shared by all fine-tune calls (donation safety for
+# async snapshotting). Module-level so repeated calls reuse one compiled copy
+# program per shape.
+_snap_copy = jax.jit(lambda p: jax.tree.map(jnp.copy, p))
+
+
+def _n_episode_feature_tokens(cfg, n_tab_features: int, n_img: int) -> int | None:
+    """Feature-axis token count of the fine-tune forward, or None if unknown
+    for this mixer type. Mirrors the token-append logic in
+    models/transformer.py (feature groups + mixer output tokens) and the
+    per-mixer counts in models/mixers.py::apply_mixer."""
+    f_tab = -(-n_tab_features // cfg.features_per_group) if n_tab_features else 0
+    if n_img == 0:
+        return f_tab
+    mt = cfg.mixer.mixer_type
+    if mt == "MGM":
+        return f_tab + cfg.mixer.mgm_heads * n_img
+    if mt == "MGM+CAP":
+        return f_tab + cfg.mixer.cap_heads
+    if mt == "MoE":
+        return f_tab + cfg.mixer.mgm_heads
+    return None
+
+
+_PROGRAM_CACHE: dict[tuple, dict[str, Any]] = {}
+_PROGRAM_CACHE_MAX = 8
+
+
+def _finetune_programs(
+    cfg, val_cfg, task: str, borders, lr: float, optimizer: str,
+    freeze_input: bool, params,
+) -> dict[str, Any]:
+    """Compiled fine-tuning programs, memoized ACROSS fine_tune_mmpfn calls.
+
+    Each call used to rebuild its jit closures, so every HPO trial re-paid the
+    ~40-50 s XLA compile of the fused step+validation program even inside one
+    process (the reference protocol is grid x 5 seeds of 100-step runs,
+    `run.py:26-201`). Keyed on everything that changes the traced computation;
+    regression borders enter via a content digest (they are a host-side numpy
+    constant embedded in the loss). The subspace noise table is a traced
+    argument, so callers pass model_seed-normalized configs and seeds share
+    one compile.
+    """
+    borders_key = (
+        None
+        if borders is None
+        else hashlib.blake2b(
+            np.ascontiguousarray(borders).tobytes(), digest_size=16
+        ).hexdigest()
+    )
+    key = (cfg, val_cfg, task, borders_key, float(lr), str(optimizer),
+           bool(freeze_input))
+    progs = _PROGRAM_CACHE.get(key)
+    if progs is not None:
+        return progs
+
+    loss_fn = get_loss_fn(task, borders)
+    mask = frozen_input_mask(params, freeze_input)
+    tx = make_optimizer(lr, optimizer=optimizer, freeze_mask=mask)
+    train_step = make_train_step(cfg, loss_fn, tx, remat=True)
+    is_sf = optimizer == "schedule_free_adamw"
+
+    # The validation set and noise table are jit ARGUMENTS, not closed over: a
+    # closed-over device array becomes an HLO constant that lowering reads
+    # back from the device — minutes over a remote-accelerator link — and
+    # would also fragment this cache per dataset.
+    @jax.jit
+    def val_forward(p, vd, noise):
+        return forward_train_test(
+            p, val_cfg, vd["x_tr"], vd["y_tr"], vd["x_va"], vd["i_tr"],
+            vd["i_va"], feat_pos_noise=noise,
+        )
+
+    # ``apply_update`` is a traced 0/1 scalar: with 0 the state (params AND
+    # optimizer moments) passes through unchanged, so the same compiled
+    # program also serves the pre-training validation — the whole protocol
+    # compiles ONE large XLA program instead of two.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_and_val(state, batch, rng, apply_update, vd, noise):
+        if noise is not None:
+            batch = {**batch, "feat_pos_noise": noise}
+        new_state, metrics = train_step(state, batch, rng)
+        new_state = jax.tree.map(
+            lambda n, o: jnp.where(apply_update, n, o), new_state, state
+        )
+        p_eval = eval_params(new_state, is_sf)
+        return new_state, metrics, val_forward(p_eval, vd, noise)
+
+    progs = {
+        "tx": tx,
+        "train_step": train_step,
+        "val_forward": val_forward,
+        "step_and_val": step_and_val,
+        "is_sf": is_sf,
+    }
+    if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+        _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+    _PROGRAM_CACHE[key] = progs
+    return progs
 
 
 def fine_tune_mmpfn(
@@ -177,19 +279,48 @@ def fine_tune_mmpfn(
         # stays numpy: a closed-over DEVICE array would be embedded as an HLO
         # constant that lowering reads back from the device
         borders = np.asarray(loaded.criterion_borders, dtype=np.float32)
-    loss_fn = get_loss_fn(task, borders)
     scorer = get_scorer(validation_metric)
 
-    # ---- optimizer + step
+    # ---- subspace noise as a traced argument (seed-independent programs)
+    # The table is a function of model_seed; baking it into the program as a
+    # constant would force a fresh XLA compile per seed. Passing it as an
+    # argument lets an HPO sweep's 5 seeds share one compiled program.
+    val_cfg = dataclasses.replace(cfg, fused_ops=on_accel)
+    feat_noise = None
+    key_cfg, key_val_cfg = cfg, val_cfg
+    if cfg.feature_positional_embedding == "subspace":
+        n_img = 0
+        if image_train is not None:
+            im_arr = np.asarray(image_train)
+            n_img = im_arr.shape[-2] if im_arr.ndim >= 3 else 1
+        f_total = _n_episode_feature_tokens(
+            cfg, 0 if X_train is None else int(np.asarray(X_train).shape[-1]),
+            n_img,
+        )
+        if f_total is not None:
+            from multimodalpfn_tpu.models.params import get_subspace_noise
+
+            feat_noise = jax.device_put(
+                get_subspace_noise(
+                    cfg.model_seed, f_total, cfg.emsize // 4
+                ).astype(np.float32)
+            )
+            key_cfg = dataclasses.replace(cfg, model_seed=0)
+            key_val_cfg = dataclasses.replace(val_cfg, model_seed=0)
+
+    # ---- optimizer + step (compiled programs memoized across calls)
     t_phase = time.time()
-    mask = frozen_input_mask(params, freeze_input)
-    tx = make_optimizer(
-        cfg_hp["learning_rate"], optimizer=cfg_hp["optimizer"], freeze_mask=mask
+    progs = _finetune_programs(
+        key_cfg, key_val_cfg, task, borders, cfg_hp["learning_rate"],
+        cfg_hp["optimizer"], freeze_input, params,
     )
+    tx = progs["tx"]
+    train_step = progs["train_step"]
+    step_and_val = progs["step_and_val"]
+    val_forward = progs["val_forward"]
+    is_sf = progs["is_sf"]
     state = init_train_state(params, tx)
-    train_step = make_train_step(cfg, loss_fn, tx, remat=True)
     phase_seconds["optimizer_setup"] = time.time() - t_phase
-    is_sf = cfg_hp["optimizer"] == "schedule_free_adamw"
 
     # exact resume (params + optimizer state + step) — beyond the reference,
     # which can only restart from weight snapshots
@@ -202,12 +333,7 @@ def fine_tune_mmpfn(
         start_step = int(jax.device_get(state.step))
         logger.info("resumed fine-tuning at step %d", start_step)
 
-    # ---- compiled validation forward (context = train rows, queries = val rows)
-    # validation is inference: the fused row-local sublayer kernels apply.
-    # The validation set is passed as jit ARGUMENTS, not closed over: a
-    # closed-over device array becomes an HLO constant that lowering reads
-    # back from the device — minutes over a remote-accelerator link.
-    val_cfg = dataclasses.replace(cfg, fused_ops=on_accel)
+    # ---- validation data (context = train rows, queries = val rows)
     # Staged on host in numpy (an eager device `[None]` reshape is a compiled
     # op on a remote backend), then moved once with a single device_put so the
     # per-step fused program doesn't re-upload the validation set.
@@ -226,12 +352,6 @@ def fine_tune_mmpfn(
             else np.asarray(image_val, np.float32)[None],
         }
     )
-
-    @jax.jit
-    def val_forward(p, vd):
-        return forward_train_test(
-            p, val_cfg, vd["x_tr"], vd["y_tr"], vd["x_va"], vd["i_tr"], vd["i_va"]
-        )
 
     def score_val_logits(logits: np.ndarray) -> float:
         """Host-side scoring of already-fetched validation logits (b=0 row)."""
@@ -253,7 +373,9 @@ def fine_tune_mmpfn(
         return scorer.convert_score_to_error(score)
 
     def validate(p) -> float:
-        return score_val_logits(np.asarray(val_forward(p, val_data))[0])
+        return score_val_logits(
+            np.asarray(val_forward(p, val_data, feat_noise))[0]
+        )
 
     # Fused step+validation: when validating every step (the reference
     # protocol), one compiled program per step and ONE host fetch — the axon
@@ -261,19 +383,8 @@ def fine_tune_mmpfn(
     # fetches dominated the steady-state step time.
     validate_inline = int(cfg_hp["validate_every_n_steps"]) == 1
 
-    # ``apply_update`` is a traced 0/1 scalar: with 0 the state (params AND
-    # optimizer moments) passes through unchanged, so the same compiled
-    # program also serves the pre-training validation — the whole protocol
-    # compiles ONE large XLA program instead of two (each compile costs tens
-    # of seconds on a remote backend).
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_and_val(state, batch, rng, apply_update):
-        new_state, metrics = train_step(state, batch, rng)
-        new_state = jax.tree.map(
-            lambda n, o: jnp.where(apply_update, n, o), new_state, state
-        )
-        p_eval = eval_params(new_state, is_sf)
-        return new_state, metrics, val_forward(p_eval, val_data)
+    def with_noise(batch: dict) -> dict:
+        return batch if feat_noise is None else {**batch, "feat_pos_noise": feat_noise}
 
     save_path = Path(save_path_to_fine_tuned_model)
     save_path.parent.mkdir(parents=True, exist_ok=True)
@@ -287,9 +398,8 @@ def fine_tune_mmpfn(
 
     # Snapshots are written by a background thread (the device->host fetch can
     # be minutes over a remote-accelerator link; see train/snapshots.py). The
-    # submitted pytree is device-copied first because the live `state` buffers
-    # are donated into the next step.
-    _snap_copy = jax.jit(lambda p: jax.tree.map(jnp.copy, p))
+    # submitted pytree is device-copied first (module-level _snap_copy)
+    # because the live `state` buffers are donated into the next step.
     snap_writer = AsyncSnapshotWriter(save_snapshot)
     state_writer = AsyncSnapshotWriter(
         lambda st: _save_train_state_file(state_path, st)
@@ -309,7 +419,7 @@ def fine_tune_mmpfn(
                 is_classification=is_classification,
             )
             batch0 = warm_sampler.sample(episode_batch_size)
-            train_step(_snap_copy(state), batch0, jax.random.PRNGKey(0))
+            train_step(_snap_copy(state), with_noise(batch0), jax.random.PRNGKey(0))
         except Exception:  # pragma: no cover - prewarm is best-effort
             logger.debug("compile prewarm failed", exc_info=True)
 
@@ -329,7 +439,8 @@ def fine_tune_mmpfn(
         )
         batch0 = warm_sampler.sample(episode_batch_size)
         _st, _m, logits0 = step_and_val(
-            _snap_copy(state), batch0, jax.random.PRNGKey(random_seed), 0.0
+            _snap_copy(state), batch0, jax.random.PRNGKey(random_seed), 0.0,
+            val_data, feat_noise,
         )
         best_err = score_val_logits(np.asarray(logits0)[0])
         del _st, _m
@@ -385,7 +496,9 @@ def fine_tune_mmpfn(
         key, sub = jax.random.split(key)
         val_logits = None
         if validate_inline:
-            state, metrics, val_logits_dev = step_and_val(state, batch, sub, 1.0)
+            state, metrics, val_logits_dev = step_and_val(
+                state, batch, sub, 1.0, val_data, feat_noise
+            )
             fetched = jax.device_get(
                 {"loss": metrics["loss"], "gn": metrics["grad_norm"],
                  "vl": val_logits_dev}
@@ -394,7 +507,7 @@ def fine_tune_mmpfn(
             gn = float(fetched["gn"])
             val_logits = np.asarray(fetched["vl"])[0]
         else:
-            state, metrics = train_step(state, batch, sub)
+            state, metrics = train_step(state, with_noise(batch), sub)
             fetched = jax.device_get(
                 {"loss": metrics["loss"], "gn": metrics["grad_norm"]}
             )

@@ -101,7 +101,9 @@ def make_train_step(
 ):
     """Build the jitted step: batch is a dict with
     ``x_train (b,s_tr,F) | None``, ``y_train (b,s_tr)``, ``x_test (b,s_te,F) | None``,
-    ``y_test (b,s_te)``, optional ``image_train/image_test (b,s,N,D)``."""
+    ``y_test (b,s_te)``, optional ``image_train/image_test (b,s,N,D)`` and an
+    optional ``feat_pos_noise`` subspace table (passed as a traced argument so
+    the compiled step is model_seed-independent)."""
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
         def compute_loss(params):
@@ -116,6 +118,7 @@ def make_train_step(
                 train=True,
                 rng=rng,
                 remat=remat,
+                feat_pos_noise=batch.get("feat_pos_noise"),
             )
             return loss_fn(logits, batch["y_test"])
 
@@ -131,15 +134,27 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+_INIT_JITS: dict[optax.GradientTransformation, Any] = {}
+
+
 def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
     # One jitted program: optax inits run per-leaf eagerly otherwise, and each
-    # tiny eager op pays a full compile round trip on a remote backend.
-    def _init(p):
-        return TrainState(
-            params=p, opt_state=tx.init(p), step=jnp.zeros((), jnp.int32)
-        )
+    # tiny eager op pays a full compile round trip on a remote backend. The
+    # jit wrapper is memoized per optimizer object so repeated fine-tune calls
+    # with a cached tx reuse one compiled init instead of recompiling.
+    fn = _INIT_JITS.get(tx)
+    if fn is None:
 
-    return jax.jit(_init)(params)
+        def _init(p):
+            return TrainState(
+                params=p, opt_state=tx.init(p), step=jnp.zeros((), jnp.int32)
+            )
+
+        fn = jax.jit(_init)
+        if len(_INIT_JITS) > 16:  # bounded; keyed by live tx objects
+            _INIT_JITS.clear()
+        _INIT_JITS[tx] = fn
+    return fn(params)
 
 
 # --- full-state checkpointing (params + optimizer state + step) --------------
