@@ -129,6 +129,7 @@ def train_step_mfu(n_chain: int = 8) -> dict:
         max_num_classes=10,
         compute_dtype="bfloat16" if on_accel else "float32",
         use_flash=on_accel,
+        fused_ops=on_accel,
         mixer=MixerConfig(
             mixer_type="MGM+CAP", mgm_heads=BENCH_MGM, cap_heads=BENCH_CAP, in_dim=768
         ),

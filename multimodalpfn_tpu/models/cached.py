@@ -177,9 +177,12 @@ class TrainsetCache(NamedTuple):
 def _feat_sublayer(st, lp, cd, cfg):
     """Feature attention + residual + post-norm; fused Pallas sublayer on
     accelerators (cfg.fused_ops), XLA formulation otherwise."""
-    if cfg.fused_ops:
-        from multimodalpfn_tpu.ops.pallas_fused import fused_feature_attention_ln
+    from multimodalpfn_tpu.ops.pallas_fused import (
+        MAX_FUSED_ATTN_TOKENS,
+        fused_feature_attention_ln,
+    )
 
+    if cfg.fused_ops and st.shape[-2] <= MAX_FUSED_ATTN_TOKENS:
         return fused_feature_attention_ln(
             st.astype(cd), lp["attn_feat"]["w_qkv"], lp["attn_feat"]["w_out"]
         )

@@ -77,7 +77,13 @@ def encoder_layer(
     target token).
     """
     cd = jnp.dtype(cfg.compute_dtype)
-    fused = cfg.fused_ops and token_valid is None
+    from multimodalpfn_tpu.ops.pallas_fused import MAX_FUSED_ATTN_TOKENS
+
+    fused = (
+        cfg.fused_ops
+        and token_valid is None
+        and state.shape[2] <= MAX_FUSED_ATTN_TOKENS
+    )
     # --- attention between feature tokens (within each sample) ---
     if fused:
         from multimodalpfn_tpu.ops.pallas_fused import (
@@ -115,7 +121,11 @@ def encoder_layer(
     )
     state = _layer_norm(state + jnp.swapaxes(h, 1, 2)).astype(cd)
     # --- MLP ---
-    if fused:
+    # row-local with no mask dependence: fused whenever cfg.fused_ops, even
+    # under a token_valid mask (padded token streams evolve but are never read)
+    if cfg.fused_ops:
+        from multimodalpfn_tpu.ops.pallas_fused import fused_mlp_ln
+
         return fused_mlp_ln(
             state, layer_params["mlp"]["w1"], layer_params["mlp"]["w2"]
         )
@@ -200,9 +210,6 @@ def _forward_impl(
     feat_pos_noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray | dict[str, Any]:
     sep = single_eval_pos
-    if train and cfg.fused_ops:
-        # fused sublayer kernels are inference-only (no VJP defined)
-        cfg = cfg.replace(fused_ops=False)
     b = y_train.shape[0]
     S = x.shape[1] if x is not None else image.shape[1]
 

@@ -1,4 +1,4 @@
-"""Fused row-local encoder sublayers (Pallas TPU), inference path.
+"""Fused row-local encoder sublayers (Pallas TPU), forward + backward.
 
 The dual-axis layer's feature-attention and MLP sublayers are row-local (each
 (sample, member) row attends/transforms over its own t≈30-50 feature tokens).
@@ -14,8 +14,12 @@ Weight residency: at emsize 192 / nhid 768 all sublayer weights fit VMEM
 (w_qkv+w_out ≈ 0.6 MB, w1+w2 ≈ 0.6 MB bf16) and are fetched once per grid
 sweep (constant index map).
 
-Inference-only: the training path keeps the XLA formulation (autodiff +
-rematerialization there; these kernels define no VJP).
+Training: both sublayers carry a ``jax.custom_vjp`` whose backward is itself a
+fused Pallas kernel (recompute-in-VMEM: the backward re-derives the sublayer's
+intermediates from the block-resident input instead of saving (rows, nhid) /
+per-head score tensors through HBM, then emits dx per block and accumulates
+the weight gradients across a sequential grid). The XLA autodiff path remains
+for the traced-key-mask variant (cross-cell batched HPO).
 """
 
 from __future__ import annotations
@@ -30,6 +34,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 MASK_VALUE = -1e30
+
+# Above this many feature tokens the fused attention's per-head (R, t, t)
+# score tiles exceed the VMEM budget (block 64 already OOMs at t≈50; the
+# backward holds all heads' p/o tiles concurrently). Callers fall back to the
+# XLA formulation beyond it — correctness is unaffected, only fusion.
+MAX_FUSED_ATTN_TOKENS = 48
+
+
+def _dot_g(lhs, rhs, dimension_numbers, preferred_element_type=jnp.float32):
+    """dot_general with f32 accumulation; f32 inputs use HIGHEST precision so
+    the kernels match the XLA path's `jax.default_matmul_precision` behavior
+    in fp32 parity mode (bf16 production inputs are unaffected)."""
+    prec = jax.lax.Precision.HIGHEST if lhs.dtype == jnp.float32 else None
+    return jax.lax.dot_general(
+        lhs, rhs, dimension_numbers, precision=prec,
+        preferred_element_type=preferred_element_type,
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -70,20 +91,20 @@ def _erf_gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 def _mlp_kernel(x_ref, w1_ref, w2_ref, o_ref):
     x = x_ref[...]  # (R, e)
-    h = jax.lax.dot_general(
+    h = _dot_g(
         x, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     h = _erf_gelu(h)
-    out = jax.lax.dot_general(
+    out = _dot_g(
         h.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     o_ref[...] = _ln_rows(x.astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
-def fused_mlp_ln(
-    x: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray, *, block_rows: int = 512
+def _mlp_fwd_call(
+    x: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray, block_rows: int
 ) -> jnp.ndarray:
     """x: (..., e) any leading shape; returns LN(x + mlp(x)) in x.dtype."""
     lead = x.shape[:-1]
@@ -142,7 +163,7 @@ def _feat_attn_kernel(
 
     # projections: batched over rows, contraction over e (full 192 depth)
     def proj(w):  # (R, t, e) @ (e, h*d) -> (R, t, h*d)
-        return jax.lax.dot_general(
+        return _dot_g(
             x, w, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ).astype(x.dtype)
 
@@ -155,7 +176,7 @@ def _feat_attn_kernel(
         q_h = q[..., hh * d : (hh + 1) * d]  # (R, t, d)
         k_h = k[..., hh * d : (hh + 1) * d]
         v_h = v[..., hh * d : (hh + 1) * d]
-        s = jax.lax.dot_general(
+        s = _dot_g(
             q_h, k_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, t, t)
@@ -165,12 +186,12 @@ def _feat_attn_kernel(
         mx = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - mx)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_h = jax.lax.dot_general(
+        o_h = _dot_g(
             p.astype(v_h.dtype), v_h, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, t, d)
         # out-projection slice for this head: (R, t, d) @ (d, e)
-        part = jax.lax.dot_general(
+        part = _dot_g(
             o_h.astype(x.dtype),
             wout_ref[hh],
             (((2,), (0,)), ((), ())),
@@ -180,21 +201,15 @@ def _feat_attn_kernel(
     o_ref[...] = _ln_rows(x.astype(jnp.float32) + acc).astype(o_ref.dtype)
 
 
-def fused_feature_attention_ln(
+def _attn_fwd_call(
     x: jnp.ndarray,
     w_qkv: jnp.ndarray,
     w_out: jnp.ndarray,
-    *,
-    token_valid_count: int | None = None,
-    block_rows: int = 32,  # unrolled-head tiles stack in VMEM; 64 OOMs at t≈50
+    token_valid_count: int | None,
+    block_rows: int,
 ) -> jnp.ndarray:
     """x: (..., t, e); attention between the t tokens of each row, plus residual
-    and post-norm — one HBM read and one write of the activations.
-
-    ``token_valid_count``: static count of valid leading tokens (None = all);
-    the traced-mask variant used by cross-cell batched HPO stays on the XLA
-    path (training), so a static count suffices here.
-    """
+    and post-norm — one HBM read and one write of the activations."""
     lead = x.shape[:-2]
     t, e = x.shape[-2], x.shape[-1]
     _, h, d, _ = w_qkv.shape
@@ -236,3 +251,374 @@ def fused_feature_attention_ln(
         ),
     )(x2, wqkv2, wout2)
     return out[:m, :t].reshape(*lead, t, e)
+
+
+# ---------------------------------------------------------------------------
+# training path: fused backward kernels + custom_vjp wrappers
+# ---------------------------------------------------------------------------
+#
+# The backward recomputes the sublayer's intermediates from the block-resident
+# input (recompute-in-VMEM beats saving (rows, nhid) / per-head score tensors
+# through HBM at these shapes), then:
+#   * writes dx block-by-block (parallel in the data),
+#   * accumulates weight grads across a SEQUENTIAL grid into constant-index
+#     f32 output blocks (initialized at grid step 0 via pl.when).
+# Zero-padding of both x and the cotangent makes every padded row/token's
+# contribution vanish algebraically (du = 0 there), so no masks are needed.
+
+
+def _erf_gelu_grad(z: jnp.ndarray) -> jnp.ndarray:
+    """d/dz [0.5 z (1 + erf(z/sqrt(2)))] = 0.5(1+erf(z/sqrt2)) + z phi(z)."""
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    phi = jnp.exp(-0.5 * z * z) * (1.0 / math.sqrt(2.0 * math.pi))
+    return 0.5 * (1.0 + _erf(z * inv_sqrt2)) + z * phi
+
+
+def _ln_rows_bwd(u32: jnp.ndarray, g32: jnp.ndarray, eps: float = 1e-5):
+    """Cotangent of affine-free LayerNorm: u -> LN(u), given dL/dLN(u)."""
+    mean = jnp.mean(u32, axis=-1, keepdims=True)
+    c = u32 - mean
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    n = c * r
+    g_mean = jnp.mean(g32, axis=-1, keepdims=True)
+    gn_mean = jnp.mean(g32 * n, axis=-1, keepdims=True)
+    return r * (g32 - g_mean - n * gn_mean)
+
+
+def _mlp_bwd_kernel(x_ref, g_ref, w1_ref, w2_ref, dx_ref, dw1_ref, dw2_ref):
+    x = x_ref[...]  # (R, e) compute dtype
+    g32 = g_ref[...].astype(jnp.float32)
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    # recompute forward intermediates in VMEM
+    z = _dot_g(
+        x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (R, H)
+    gz = _erf_gelu(z)
+    u32 = x.astype(jnp.float32) + _dot_g(
+        gz.astype(x.dtype), w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    du = _ln_rows_bwd(u32, g32)  # (R, e) f32
+    du_c = du.astype(x.dtype)
+    dh = _dot_g(
+        du_c, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (R, H)
+    dz = dh * _erf_gelu_grad(z)
+    dz_c = dz.astype(x.dtype)
+    dx = du + _dot_g(
+        dz_c, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dw1_blk = _dot_g(
+        x, dz_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (e, H)
+    dw2_blk = _dot_g(
+        gz.astype(x.dtype), du_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, e)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw1_ref[...] = dw1_blk
+        dw2_ref[...] = dw2_blk
+
+    @pl.when(i != 0)
+    def _acc():
+        dw1_ref[...] += dw1_blk
+        dw2_ref[...] += dw2_blk
+
+
+def _mlp_bwd_call(x, w1, w2, g, block_rows: int):
+    lead = x.shape[:-1]
+    e = x.shape[-1]
+    H = w1.shape[1]
+    m = 1
+    for n in lead:
+        m *= n
+    x2 = x.reshape(m, e)
+    g2 = g.reshape(m, e)
+    m_pad = _round_up(m, block_rows)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+        g2 = jnp.pad(g2, ((0, m_pad - m), (0, 0)))
+    dx, dw1, dw2 = pl.pallas_call(
+        _mlp_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, e), x.dtype),
+            jax.ShapeDtypeStruct((e, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, e), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(m_pad // block_rows,),
+            in_specs=[
+                pl.BlockSpec((block_rows, e), lambda i: (i, 0)),
+                pl.BlockSpec((block_rows, e), lambda i: (i, 0)),
+                pl.BlockSpec((e, H), lambda i: (0, 0)),
+                pl.BlockSpec((H, e), lambda i: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((block_rows, e), lambda i: (i, 0)),
+                pl.BlockSpec((e, H), lambda i: (0, 0)),
+                pl.BlockSpec((H, e), lambda i: (0, 0)),
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: dw accumulates
+        ),
+    )(x2, g2, w1.astype(x.dtype), w2.astype(x.dtype))
+    return dx[:m].reshape(x.shape), dw1.astype(w1.dtype), dw2.astype(w2.dtype)
+
+
+_MLP_BLOCK_ROWS = 512
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_mlp_ln_vjp(x, w1, w2, block_rows):
+    return _mlp_fwd_call(x, w1, w2, block_rows)
+
+
+def _fused_mlp_ln_fwd(x, w1, w2, block_rows):
+    return _mlp_fwd_call(x, w1, w2, block_rows), (x, w1, w2)
+
+
+def _fused_mlp_ln_bwd(block_rows, res, g):
+    x, w1, w2 = res
+    return _mlp_bwd_call(x, w1, w2, g, block_rows)
+
+
+_fused_mlp_ln_vjp.defvjp(_fused_mlp_ln_fwd, _fused_mlp_ln_bwd)
+
+
+def fused_mlp_ln(
+    x: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray, *, block_rows: int = _MLP_BLOCK_ROWS
+) -> jnp.ndarray:
+    """LN(x + W2·gelu(W1·x)) with fused Pallas forward AND backward."""
+    return _fused_mlp_ln_vjp(x, w1, w2, block_rows)
+
+
+def _attn_bwd_kernel(
+    x_ref, g_ref, wqkv_ref, wout_ref, dx_ref, dwqkv_ref, dwout_ref,
+    *, h: int, d: int, sm_scale: float, key_mask_cols: int,
+):
+    x = x_ref[...]  # (R, t, e)
+    g32 = g_ref[...].astype(jnp.float32)
+    wq = wqkv_ref[0]  # (h*d, e)
+    wk = wqkv_ref[1]
+    wv = wqkv_ref[2]
+
+    def proj(w):
+        return _dot_g(
+            x, w, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(x.dtype)  # (R, t, h*d)
+
+    q = proj(wq) * jnp.asarray(sm_scale, x.dtype)  # scaled as in forward
+    k = proj(wk)
+    v = proj(wv)
+
+    # recompute u = x + sum_h o_h · Wout[h] (needs all heads before LN bwd)
+    ps = []
+    os_ = []
+    acc = None
+    for hh in range(h):
+        q_h = q[..., hh * d : (hh + 1) * d]
+        k_h = k[..., hh * d : (hh + 1) * d]
+        v_h = v[..., hh * d : (hh + 1) * d]
+        s = _dot_g(
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, t, t)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(col < key_mask_cols, s, MASK_VALUE)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # (R, t, t) f32
+        o_h = _dot_g(
+            p.astype(v_h.dtype), v_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, t, d)
+        part = _dot_g(
+            o_h.astype(x.dtype), wout_ref[hh], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+        ps.append(p)
+        os_.append(o_h)
+
+    u32 = x.astype(jnp.float32) + acc
+    du = _ln_rows_bwd(u32, g32)  # (R, t, e) f32
+    du_c = du.astype(x.dtype)
+
+    # 2D views for the weight-grad contractions: Mosaic's matmul supports a
+    # single contracting dim, so (R,t,·) pairs flatten to (R·t,·) first
+    R, t, e = x.shape
+    x2 = x.reshape(R * t, e)
+    du2 = du_c.reshape(R * t, e)
+
+    dx = du
+    i = pl.program_id(0)
+    for hh in range(h):
+        q_h = q[..., hh * d : (hh + 1) * d]
+        k_h = k[..., hh * d : (hh + 1) * d]
+        v_h = v[..., hh * d : (hh + 1) * d]
+        p = ps[hh]
+        o_h = os_[hh]
+        # dWout[h] = sum_{R,t} o_h^T du
+        dwout_blk = _dot_g(
+            o_h.astype(x.dtype).reshape(R * t, d), du2,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, e)
+        do_h = _dot_g(
+            du_c, wout_ref[hh], (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, t, d)
+        do_c = do_h.astype(x.dtype)
+        dp = _dot_g(
+            do_c, v_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, t_q, t_k)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = (p * (dp - delta)).astype(x.dtype)  # (R, t_q, t_k)
+        # dq (for the SCALED q), then fold the scale into the projection grad
+        dq_h = _dot_g(
+            ds, k_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # (R, t_q, d)
+        dk_h = _dot_g(
+            ds, q_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, t_k, d) — q already carries sm_scale
+        dv_h = _dot_g(
+            p.astype(do_c.dtype), do_c, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, t_k, d)
+        dq_c = dq_h.astype(x.dtype)
+        dk_c = dk_h.astype(x.dtype)
+        dv_c = dv_h.astype(x.dtype)
+        # input grads through the projections: (R,t,d) @ (d_slice of w, e)
+        for dgrad, w in ((dq_c, wq), (dk_c, wk), (dv_c, wv)):
+            dx = dx + _dot_g(
+                dgrad, w[hh * d : (hh + 1) * d], (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        # weight grads: sum over (R, t) of outer(d-grad, x)
+        dwq_blk = _dot_g(
+            dq_c.reshape(R * t, d), x2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (d, e)
+        dwk_blk = _dot_g(
+            dk_c.reshape(R * t, d), x2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwv_blk = _dot_g(
+            dv_c.reshape(R * t, d), x2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        sl = pl.ds(hh * d, d)
+
+        @pl.when(i == 0)
+        def _init(sl=sl, a=dwq_blk, b=dwk_blk, c=dwv_blk, o=dwout_blk):
+            dwqkv_ref[0, sl, :] = a
+            dwqkv_ref[1, sl, :] = b
+            dwqkv_ref[2, sl, :] = c
+            dwout_ref[hh, :, :] = o
+
+        @pl.when(i != 0)
+        def _acc(sl=sl, a=dwq_blk, b=dwk_blk, c=dwv_blk, o=dwout_blk):
+            dwqkv_ref[0, sl, :] += a
+            dwqkv_ref[1, sl, :] += b
+            dwqkv_ref[2, sl, :] += c
+            dwout_ref[hh, :, :] += o
+
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _attn_bwd_call(x, w_qkv, w_out, g, block_rows: int):
+    lead = x.shape[:-2]
+    t, e = x.shape[-2], x.shape[-1]
+    _, h, d, _ = w_qkv.shape
+    m = 1
+    for n in lead:
+        m *= n
+    t8 = _round_up(t, 8)
+    x2 = x.reshape(m, t, e)
+    g2 = g.reshape(m, t, e)
+    m_pad = _round_up(m, block_rows)
+    x2 = jnp.pad(x2, ((0, m_pad - m), (0, t8 - t), (0, 0)))
+    g2 = jnp.pad(g2, ((0, m_pad - m), (0, t8 - t), (0, 0)))
+    wqkv2 = w_qkv.reshape(3, h * d, e).astype(x.dtype)
+    wout2 = w_out.astype(x.dtype)
+    kernel = functools.partial(
+        _attn_bwd_kernel, h=h, d=d, sm_scale=1.0 / math.sqrt(d),
+        key_mask_cols=t,
+    )
+    dx, dwqkv, dwout = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, t8, e), x.dtype),
+            jax.ShapeDtypeStruct((3, h * d, e), jnp.float32),
+            jax.ShapeDtypeStruct((h, d, e), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(m_pad // block_rows,),
+            in_specs=[
+                pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
+                pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
+                pl.BlockSpec((3, h * d, e), lambda i: (0, 0, 0)),
+                pl.BlockSpec((h, d, e), lambda i: (0, 0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
+                pl.BlockSpec((3, h * d, e), lambda i: (0, 0, 0)),
+                pl.BlockSpec((h, d, e), lambda i: (0, 0, 0)),
+            ),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: dw accumulates
+        ),
+    )(x2, g2, wqkv2, wout2)
+    dx = dx[:m, :t].reshape(x.shape)
+    return dx, dwqkv.reshape(w_qkv.shape).astype(w_qkv.dtype), dwout.astype(w_out.dtype)
+
+
+_ATTN_BLOCK_ROWS = 32
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attn_ln_vjp(x, w_qkv, w_out, block_rows):
+    return _attn_fwd_call(x, w_qkv, w_out, None, block_rows)
+
+
+def _fused_attn_ln_fwd(x, w_qkv, w_out, block_rows):
+    return _attn_fwd_call(x, w_qkv, w_out, None, block_rows), (x, w_qkv, w_out)
+
+
+def _fused_attn_ln_bwd(block_rows, res, g):
+    x, w_qkv, w_out = res
+    return _attn_bwd_call(x, w_qkv, w_out, g, block_rows)
+
+
+_fused_attn_ln_vjp.defvjp(_fused_attn_ln_fwd, _fused_attn_ln_bwd)
+
+
+def fused_feature_attention_ln(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    *,
+    token_valid_count: int | None = None,
+    block_rows: int = _ATTN_BLOCK_ROWS,  # unrolled-head tiles stack in VMEM; 64 OOMs at t≈50
+) -> jnp.ndarray:
+    """LN(x + attn over the t feature tokens of each row), fused fwd+bwd.
+
+    ``token_valid_count``: static count of valid leading tokens (None = all);
+    that inference-only variant has no custom VJP (the traced-mask training
+    variant used by cross-cell batched HPO stays on the XLA path).
+    """
+    if token_valid_count is not None:
+        return _attn_fwd_call(x, w_qkv, w_out, token_valid_count, block_rows)
+    return _fused_attn_ln_vjp(x, w_qkv, w_out, block_rows)

@@ -258,7 +258,11 @@ def fine_tune_mmpfn(
     on_accel = jax.devices()[0].platform not in ("cpu",)
     if compute_dtype is None:
         compute_dtype = "bfloat16" if on_accel else "float32"
-    cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype, use_flash=on_accel)
+    cfg = dataclasses.replace(
+        cfg, compute_dtype=compute_dtype, use_flash=on_accel,
+        # fused sublayer kernels carry fused Pallas backwards (pallas_fused.py)
+        fused_ops=on_accel,
+    )
     params = loaded.params
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     logger.info("fine-tuning %s params", f"{n_params:,}")

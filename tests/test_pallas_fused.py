@@ -67,3 +67,104 @@ def test_encoder_layer_fused_matches_xla():
             x, layer0, single_eval_pos=30, cfg=cfg.replace(fused_ops=True)
         )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-6, atol=3e-6)
+
+
+def test_fused_backward_matches_xla_grads():
+    """The custom-VJP Pallas backwards (dx + all weight grads) vs jax.grad of
+    the XLA formulation."""
+    from multimodalpfn_tpu.models.transformer import _layer_norm, _mlp
+    from multimodalpfn_tpu.ops.attention import self_attention
+    from multimodalpfn_tpu.ops.pallas_fused import (
+        fused_feature_attention_ln,
+        fused_mlp_ln,
+    )
+
+    rng = np.random.default_rng(1)
+    b, S, t, e, h, d, H = 2, 9, 13, 32, 4, 8, 64
+    x = jnp.asarray(rng.normal(size=(b, S, t, e)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(e, H)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(H, e)) * 0.1, jnp.float32)
+    w_qkv = jnp.asarray(rng.normal(size=(3, h, d, e)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.normal(size=(h, d, e)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, S, t, e)), jnp.float32)
+
+    def l_ref_mlp(x, w1, w2):
+        return jnp.sum(_layer_norm(x + _mlp(x, w1, w2, jnp.float32)) * g)
+
+    def l_fused_mlp(x, w1, w2):
+        return jnp.sum(fused_mlp_ln(x, w1, w2, block_rows=16) * g)
+
+    def l_ref_attn(x, wqkv, wout):
+        return jnp.sum(
+            _layer_norm(x + self_attention(x, wqkv, wout, compute_dtype=jnp.float32)) * g
+        )
+
+    def l_fused_attn(x, wqkv, wout):
+        return jnp.sum(fused_feature_attention_ln(x, wqkv, wout, block_rows=16) * g)
+
+    with pltpu.force_tpu_interpret_mode():
+        gr = jax.grad(l_ref_mlp, argnums=(0, 1, 2))(x, w1, w2)
+        gf = jax.grad(l_fused_mlp, argnums=(0, 1, 2))(x, w1, w2)
+        for a, b_ in zip(gr, gf):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-5, atol=6e-6
+            )
+        gr = jax.grad(l_ref_attn, argnums=(0, 1, 2))(x, w_qkv, w_out)
+        gf = jax.grad(l_fused_attn, argnums=(0, 1, 2))(x, w_qkv, w_out)
+        for a, b_ in zip(gr, gf):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-5, atol=6e-6
+            )
+
+
+def test_train_forward_grads_fused_vs_xla():
+    """Whole-model value_and_grad with cfg.fused_ops vs the XLA path (no remat:
+    interpret mode cannot partial-eval the Pallas callback effects under
+    jax.checkpoint; the remat variant is exercised on real TPU hardware)."""
+    import dataclasses
+
+    from multimodalpfn_tpu.models.transformer import forward_train_test
+    from multimodalpfn_tpu.train.losses import get_loss_fn
+
+    cfg0 = ModelConfig(
+        emsize=24, nhead=6, nhid_factor=4, nlayers=2, n_out=10, max_num_classes=10,
+        compute_dtype="float32",
+        mixer=MixerConfig("MGM+CAP", mgm_heads=2, cap_heads=2, in_dim=96),
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg0, model_seed=0)
+    leaves, tdef = jax.tree_util.tree_flatten(params)
+    params = jax.tree_util.tree_unflatten(
+        tdef,
+        [l + 0.03 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, jax.random.split(jax.random.PRNGKey(9), len(leaves)))],
+    )
+    rng = np.random.default_rng(0)
+    b, s_tr, s_te, F = 1, 24, 8, 5
+    batch = dict(
+        x_train=jnp.asarray(rng.normal(size=(b, s_tr, F)), jnp.float32),
+        y_train=jnp.asarray(rng.integers(0, 3, size=(b, s_tr)), jnp.float32),
+        x_test=jnp.asarray(rng.normal(size=(b, s_te, F)), jnp.float32),
+        y_test=jnp.asarray(rng.integers(0, 3, size=(b, s_te)), jnp.float32),
+        image_train=jnp.asarray(rng.normal(size=(b, s_tr, 1, 96)), jnp.float32),
+        image_test=jnp.asarray(rng.normal(size=(b, s_te, 1, 96)), jnp.float32),
+    )
+    loss_fn = get_loss_fn("multiclass")
+
+    def make_loss(cfg):
+        def L(p):
+            logits = forward_train_test(
+                p, cfg, batch["x_train"], batch["y_train"], batch["x_test"],
+                batch["image_train"], batch["image_test"],
+                train=True, rng=jax.random.PRNGKey(1), remat=False,
+            )
+            return loss_fn(logits, batch["y_test"])
+        return L
+
+    lx, gx = jax.value_and_grad(make_loss(dataclasses.replace(cfg0, fused_ops=False)))(params)
+    with pltpu.force_tpu_interpret_mode():
+        lf, gf = jax.value_and_grad(make_loss(dataclasses.replace(cfg0, fused_ops=True)))(params)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-6)
+    flat_x = jax.tree_util.tree_leaves(gx)
+    flat_f = jax.tree_util.tree_leaves(gf)
+    for a, b_ in zip(flat_x, flat_f):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=5e-4, atol=1e-6)
