@@ -597,9 +597,16 @@ def _fused_attn_ln_fwd(x, w_qkv, w_out, block_rows):
     return _attn_fwd_call(x, w_qkv, w_out, None, block_rows), (x, w_qkv, w_out)
 
 
+# The backward holds every head's p/o tile plus the recompute temporaries
+# concurrently (Mosaic stack-allocates unrolled iterations separately), so it
+# runs at half the forward's row block to stay inside the 16 MB scoped-VMEM
+# limit (measured: block 32 at t8=32 overflows by ~300 KB).
+_ATTN_BWD_BLOCK_ROWS = 16
+
+
 def _fused_attn_ln_bwd(block_rows, res, g):
     x, w_qkv, w_out = res
-    return _attn_bwd_call(x, w_qkv, w_out, g, block_rows)
+    return _attn_bwd_call(x, w_qkv, w_out, g, min(block_rows, _ATTN_BWD_BLOCK_ROWS))
 
 
 _fused_attn_ln_vjp.defvjp(_fused_attn_ln_fwd, _fused_attn_ln_bwd)

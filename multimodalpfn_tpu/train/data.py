@@ -76,3 +76,22 @@ class EpisodeSampler:
         """Stack `batch_size` episodes on a leading axis."""
         eps = [self._one() for _ in range(batch_size)]
         return {k: np.stack([e[k] for e in eps]) for k in eps[0]}
+
+    def sample_indices(self, batch_size: int = 1) -> dict[str, np.ndarray]:
+        """Episode INDICES only: {"train_idx": (b, train_size), "test_idx":
+        (b, test_size)} int32, drawn from the same fold stream as `sample`
+        (identical episodes). For device-side episode gathering: the caller
+        keeps the full train set on device and gathers rows inside the
+        compiled step, so each step uploads ~KBs of indices instead of the
+        episode's ~MBs of features/embeddings (the dominant steady-state cost
+        over a remote-accelerator link)."""
+        tr, te = [], []
+        for _ in range(batch_size):
+            train_idx, test_idx = next(self._stream)
+            if len(test_idx) != self.test_size:
+                cut = len(test_idx) - self.test_size
+                train_idx = np.concatenate([train_idx, test_idx[:cut]])
+                test_idx = test_idx[cut:]
+            tr.append(train_idx.astype(np.int32))
+            te.append(test_idx.astype(np.int32))
+        return {"train_idx": np.stack(tr), "test_idx": np.stack(te)}

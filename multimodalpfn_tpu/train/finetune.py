@@ -171,10 +171,25 @@ def _finetune_programs(
     # optimizer moments) passes through unchanged, so the same compiled
     # program also serves the pre-training validation — the whole protocol
     # compiles ONE large XLA program instead of two.
+    #
+    # The episode is passed as INDEX ARRAYS (b, s) and gathered on device
+    # from the full train set already resident in ``vd``: per step the host
+    # uploads ~6 KB of indices instead of the episode's ~9 MB of rows — the
+    # dominant steady-state cost over a remote-accelerator link.
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_and_val(state, batch, rng, apply_update, vd, noise):
+    def step_and_val(state, idx_tr, idx_te, rng, apply_update, vd, noise):
+        batch = {
+            "y_train": vd["y_tr"][0][idx_tr],
+            "y_test": vd["y_tr"][0][idx_te],
+        }
+        if vd["x_tr"] is not None:
+            batch["x_train"] = vd["x_tr"][0][idx_tr]
+            batch["x_test"] = vd["x_tr"][0][idx_te]
+        if vd["i_tr"] is not None:
+            batch["image_train"] = vd["i_tr"][0][idx_tr]
+            batch["image_test"] = vd["i_tr"][0][idx_te]
         if noise is not None:
-            batch = {**batch, "feat_pos_noise": noise}
+            batch["feat_pos_noise"] = noise
         new_state, metrics = train_step(state, batch, rng)
         new_state = jax.tree.map(
             lambda n, o: jnp.where(apply_update, n, o), new_state, state
@@ -441,10 +456,10 @@ def fine_tune_mmpfn(
             X=X_train, image=image_train, y=y_train,
             is_classification=is_classification,
         )
-        batch0 = warm_sampler.sample(episode_batch_size)
+        idx0 = warm_sampler.sample_indices(episode_batch_size)
         _st, _m, logits0 = step_and_val(
-            _snap_copy(state), batch0, jax.random.PRNGKey(random_seed), 0.0,
-            val_data, feat_noise,
+            _snap_copy(state), idx0["train_idx"], idx0["test_idx"],
+            jax.random.PRNGKey(random_seed), 0.0, val_data, feat_noise,
         )
         best_err = score_val_logits(np.asarray(logits0)[0])
         del _st, _m
@@ -496,12 +511,13 @@ def fine_tune_mmpfn(
             break
         if state_checkpoint_every and step_i % state_checkpoint_every == 0:
             state_writer.submit(_snap_copy(state))
-        batch = sampler.sample(episode_batch_size)
         key, sub = jax.random.split(key)
         val_logits = None
         if validate_inline:
+            idx = sampler.sample_indices(episode_batch_size)
             state, metrics, val_logits_dev = step_and_val(
-                state, batch, sub, 1.0, val_data, feat_noise
+                state, idx["train_idx"], idx["test_idx"], sub, 1.0,
+                val_data, feat_noise,
             )
             fetched = jax.device_get(
                 {"loss": metrics["loss"], "gn": metrics["grad_norm"],
@@ -511,6 +527,7 @@ def fine_tune_mmpfn(
             gn = float(fetched["gn"])
             val_logits = np.asarray(fetched["vl"])[0]
         else:
+            batch = sampler.sample(episode_batch_size)
             state, metrics = train_step(state, with_noise(batch), sub)
             fetched = jax.device_get(
                 {"loss": metrics["loss"], "gn": metrics["grad_norm"]}
