@@ -8,12 +8,20 @@ validating each ``validate_every_n_steps`` and keeping the best-by-validation
 snapshot.
 
 TPU-first differences:
-  * the whole step (forward+loss+grad+update) is ONE jitted function, reused for
-    every episode (constant shapes by construction — see train/data.py);
-  * no GradScaler: bf16 forward with fp32 params/optimizer needs no loss scaling;
+  * the whole protocol compiles to ONE program: step + schedule-free eval
+    interpolation + validation forward fuse behind a traced ``apply_update``
+    flag, reused for every episode (constant shapes by construction);
+  * compiled programs are memoized ACROSS fine_tune_mmpfn calls
+    (``_finetune_programs``) and are model_seed-independent (the subspace
+    noise table rides as a traced argument), so an HPO sweep compiles once;
+  * episodes are gathered ON DEVICE from the resident train set via ~KB fold
+    index uploads (train/data.py::sample_indices) instead of ~MB row uploads;
+  * no GradScaler: bf16 forward with fp32 params/optimizer needs no loss
+    scaling; the sublayers run fused Pallas kernels fwd AND bwd
+    (ops/pallas_fused.py);
   * episodes can batch on a leading axis (dp-shardable);
-  * validation runs through the same compiled forward with schedule-free eval
-    params; snapshots are saved both orbax-native and reference-torch-format.
+  * best-snapshot / resume-state writes stream through a background writer
+    (train/snapshots.py); saved both orbax-native and reference-torch-format.
 """
 
 from __future__ import annotations
