@@ -203,7 +203,10 @@ def _finetune_programs(
             lambda n, o: jnp.where(apply_update, n, o), new_state, state
         )
         p_eval = eval_params(new_state, is_sf)
-        return new_state, metrics, val_forward(p_eval, vd, noise)
+        # p_eval is also RETURNED: the loop snapshots it when the validation
+        # score (fetched one step later, pipelined) turns out to be the best,
+        # without re-running the schedule-free interpolation
+        return new_state, metrics, val_forward(p_eval, vd, noise), p_eval
 
     progs = {
         "tx": tx,
@@ -465,12 +468,12 @@ def fine_tune_mmpfn(
             is_classification=is_classification,
         )
         idx0 = warm_sampler.sample_indices(episode_batch_size)
-        _st, _m, logits0 = step_and_val(
+        _st, _m, logits0, _p = step_and_val(
             _snap_copy(state), idx0["train_idx"], idx0["test_idx"],
             jax.random.PRNGKey(random_seed), 0.0, val_data, feat_noise,
         )
         best_err = score_val_logits(np.asarray(logits0)[0])
-        del _st, _m
+        del _st, _m, _p
     else:
         best_err = validate(state.params)
     phase_seconds["initial_validation"] = time.time() - t_phase
@@ -512,6 +515,36 @@ def fine_tune_mmpfn(
     }
     key = jax.random.PRNGKey(random_seed)
 
+    # NOTE on a rejected design: pipelining the host fetch (process step i-1's
+    # results after dispatching step i) measures WORSE on the axon relay
+    # (0.37 vs 0.22 s/step, reproducible A/B) — the relay serializes transfers
+    # behind queued compute, so the "overlapped" fetch just waits out the next
+    # step. The loop therefore fetches synchronously each iteration.
+    def process_result(res: tuple) -> bool:
+        """Fetch + score one step's device results; returns True to early-stop."""
+        nonlocal best_err
+        pi, p_t, p_metrics, p_vl, p_eval_dev = res
+        fetched = jax.device_get(
+            {"loss": p_metrics["loss"], "gn": p_metrics["grad_norm"], "vl": p_vl}
+        )
+        loss = float(fetched["loss"])
+        history["train_loss"].append(loss)
+        history["grad_norm"].append(float(fetched["gn"]))
+        history["steps"] = pi
+        err = score_val_logits(np.asarray(fetched["vl"])[0])
+        history["val_error"].append((pi, err))
+        is_best = err < best_err
+        if is_best:
+            best_err = err
+            history["best_val_error"] = err
+            snap_writer.submit(_snap_copy(p_eval_dev))
+        if pbar is not None:
+            pbar.update(1)
+            pbar.set_postfix(loss=f"{loss:.4f}", best_val=f"{best_err:.4f}")
+        stop = es.update(cur_round=pi, is_best=is_best)
+        history["step_seconds"].append(time.time() - p_t)
+        return use_early_stopping and stop
+
     for step_i in range(start_step + 1, int(cfg_hp["max_steps"]) + 1):
         t_iter = time.time()
         if time.time() - st_time > time_limit:
@@ -520,41 +553,34 @@ def fine_tune_mmpfn(
         if state_checkpoint_every and step_i % state_checkpoint_every == 0:
             state_writer.submit(_snap_copy(state))
         key, sub = jax.random.split(key)
-        val_logits = None
         if validate_inline:
             idx = sampler.sample_indices(episode_batch_size)
-            state, metrics, val_logits_dev = step_and_val(
+            state, metrics, val_logits_dev, p_eval_dev = step_and_val(
                 state, idx["train_idx"], idx["test_idx"], sub, 1.0,
                 val_data, feat_noise,
             )
-            fetched = jax.device_get(
-                {"loss": metrics["loss"], "gn": metrics["grad_norm"],
-                 "vl": val_logits_dev}
-            )
-            loss = float(fetched["loss"])
-            gn = float(fetched["gn"])
-            val_logits = np.asarray(fetched["vl"])[0]
-        else:
-            batch = sampler.sample(episode_batch_size)
-            state, metrics = train_step(state, with_noise(batch), sub)
-            fetched = jax.device_get(
-                {"loss": metrics["loss"], "gn": metrics["grad_norm"]}
-            )
-            loss, gn = float(fetched["loss"]), float(fetched["gn"])
+            if process_result(
+                (step_i, t_iter, metrics, val_logits_dev, p_eval_dev)
+            ):
+                logger.info("early stopping at step %d", step_i)
+                break
+            continue
+        # non-inline: synchronous step; validation on its own cadence
+        batch = sampler.sample(episode_batch_size)
+        state, metrics = train_step(state, with_noise(batch), sub)
+        fetched = jax.device_get(
+            {"loss": metrics["loss"], "gn": metrics["grad_norm"]}
+        )
+        loss, gn = float(fetched["loss"]), float(fetched["gn"])
         history["train_loss"].append(loss)
         history["grad_norm"].append(gn)
         history["steps"] = step_i
         if pbar is not None:
             pbar.update(1)
             pbar.set_postfix(loss=f"{loss:.4f}", best_val=f"{best_err:.4f}")
-
         if step_i % int(cfg_hp["validate_every_n_steps"]) == 0:
             p_eval = eval_params(state, is_sf)
-            err = (
-                score_val_logits(val_logits)
-                if val_logits is not None
-                else validate(p_eval)
-            )
+            err = validate(p_eval)
             history["val_error"].append((step_i, err))
             is_best = err < best_err
             if is_best:
@@ -567,6 +593,7 @@ def fine_tune_mmpfn(
                 logger.info("early stopping at step %d", step_i)
                 break
         history["step_seconds"].append(time.time() - t_iter)
+
 
     if pbar is not None:
         pbar.close()
