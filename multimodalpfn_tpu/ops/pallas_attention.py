@@ -35,8 +35,9 @@ Design (TPU-first, measured on v5e):
   * **Fused backward, no masks.** Zero-padding q/do/k/v and lse/delta makes
     every padded contribution vanish algebraically (pad-k columns are zero so
     dq ignores garbage score columns; pad-q columns have do = 0 so dk/dv
-    ignore them). dq: grid over q blocks, stream KV chunks. dkv: grid over
-    kv blocks, stream Q chunks.
+    ignore them). One merged kernel: grid over
+    kv blocks (sequential), stream Q chunks once — dk/dv emit per block and
+    dq accumulates across the kv grid axis.
 
 Gradient flow: ``flash_mha_t`` is a ``jax.custom_vjp`` whose backward runs the
 fused dq/dkv kernels — gradients never materialize (S_q, S_kv), so fine-tuning
@@ -220,63 +221,14 @@ def _fwd_impl(q3, k3, v3, *, sm_scale, block_q, block_kv):
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(
-    q_ref,
+def _bwd_kernel(
     k_ref,
     v_ref,
+    q_ref,
     do_ref,
     lse_ref,
     delta_ref,
     dq_ref,
-    *,
-    sm_scale: float,
-    chunk: int,
-    n_chunks: int,
-):
-    q = q_ref[0]  # (d, block_q)
-    do = do_ref[0]
-    lse = lse_ref[0]  # (1, block_q)
-    delta = delta_ref[0]
-
-    def process(lo, dq):
-        k = k_ref[0, :, pl.ds(lo, chunk)]  # (d, chunk)
-        v = v_ref[0, :, pl.ds(lo, chunk)]
-        s = jax.lax.dot_general(
-            k, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (chunk, block_q)
-        p = jnp.exp(s * sm_scale - lse)  # zero-padded k cols die against k below
-        dp = jax.lax.dot_general(
-            v, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (chunk, block_q)
-        ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(
-            k,
-            ds.astype(k.dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (d, block_q)
-
-    dq = jnp.zeros(q.shape, jnp.float32)
-    if n_chunks <= UNROLL_LIMIT:
-        for ci in range(n_chunks):
-            dq = process(ci * chunk, dq)
-    else:
-        dq = jax.lax.fori_loop(
-            0,
-            n_chunks,
-            lambda i, c: process(pl.multiple_of(i * chunk, LANES), c),
-            dq,
-        )
-    dq_ref[0] = (dq * sm_scale).astype(dq_ref.dtype)
-
-
-def _dkv_kernel(
-    k_ref,
-    v_ref,
-    q_ref,
-    do_ref,
-    lse_ref,
-    delta_ref,
     dk_ref,
     dv_ref,
     *,
@@ -284,8 +236,20 @@ def _dkv_kernel(
     chunk: int,
     n_chunks: int,
 ):
+    """Merged backward: one (g, kv-block) cell streams the Q chunks ONCE,
+    emitting this block's dk/dv and accumulating every chunk's dq slice.
+
+    The two-kernel formulation (separate dq and dkv passes) recomputed the
+    score/probability tiles twice; merging halves the score-space matmuls.
+    The kv axis is a SEQUENTIAL grid dimension so dq (full-length, constant
+    index map, f32) accumulates across kv blocks — initialized at kv block 0.
+    Zero-padding still kills every padded contribution algebraically: padded q
+    lanes have do = 0 (ds, dv die) and padded k columns are zero (dq ignores
+    their garbage score columns).
+    """
     k = k_ref[0]  # (d, block_kv)
     v = v_ref[0]
+    ki = pl.program_id(1)
 
     def process(lo, carry):
         dk, dv = carry
@@ -296,7 +260,7 @@ def _dkv_kernel(
         s_t = jax.lax.dot_general(
             k, q_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_kv, chunk)
-        p_t = jnp.exp(s_t * sm_scale - lse_c)  # padded q lanes have do = 0
+        p_t = jnp.exp(s_t * sm_scale - lse_c)
         dv = dv + jax.lax.dot_general(
             do_c,
             p_t.astype(do_c.dtype),
@@ -306,13 +270,24 @@ def _dkv_kernel(
         dp_t = jax.lax.dot_general(
             v, do_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (block_kv, chunk)
-        ds_t = p_t * (dp_t - delta_c)
+        # sm_scale folded into ds once: serves both dq and dk
+        ds_t = (p_t * (dp_t - delta_c) * sm_scale).astype(q_c.dtype)
         dk = dk + jax.lax.dot_general(
-            q_c,
-            ds_t.astype(q_c.dtype),
-            (((1,), (1,)), ((), ())),
+            q_c, ds_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (d, block_kv)
+        dq_c = jax.lax.dot_general(
+            k, ds_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (d, chunk)
+
+        @pl.when(ki == 0)
+        def _init():
+            dq_ref[0, :, pl.ds(lo, chunk)] = dq_c
+
+        @pl.when(ki != 0)
+        def _acc():
+            dq_ref[0, :, pl.ds(lo, chunk)] += dq_c
+
         return dk, dv
 
     carry = (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
@@ -327,7 +302,7 @@ def _dkv_kernel(
             carry,
         )
     dk, dv = carry
-    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
@@ -335,86 +310,56 @@ def _bwd_impl(q3, k3, v3, o3, lse, do3, *, sm_scale, block_q, block_kv):
     """All rank-3 (G, d, S); lse (G, 1, Sq). Returns dq, dk, dv (input dtypes)."""
     G, d, Sq = q3.shape
     kv_len = k3.shape[2]
-    # delta_i = sum_d do_i * o_i — tiny (G, 1, Sq) row tensor, computed in XLA
+    # delta_i = sum_d do_i * o_i - tiny (G, 1, Sq) row tensor, computed in XLA
     delta = jnp.sum(do3.astype(jnp.float32) * o3, axis=1, keepdims=True)
     do3 = do3.astype(q3.dtype)
 
-    # --- dq: grid over (g, q-block), stream KV chunks ---
-    block_q_g = _fit_block(Sq, block_q)
-    chunk_kv = min(block_kv, _round_up(kv_len, LANES))
-    sq_pad = _round_up(Sq, block_q_g)
-    skv_pad = _round_up(kv_len, chunk_kv)
-    dq = pl.pallas_call(
-        functools.partial(
-            _dq_kernel, sm_scale=sm_scale, chunk=chunk_kv,
-            n_chunks=skv_pad // chunk_kv,
-        ),
-        out_shape=jax.ShapeDtypeStruct((G, d, sq_pad), q3.dtype),
-        grid_spec=pl.GridSpec(
-            grid=(G, sq_pad // block_q_g),
-            in_specs=[
-                pl.BlockSpec((1, d, block_q_g), lambda g, qi: (g, 0, qi)),
-                pl.BlockSpec((1, d, skv_pad), lambda g, qi: (g, 0, 0)),
-                pl.BlockSpec((1, d, skv_pad), lambda g, qi: (g, 0, 0)),
-                pl.BlockSpec((1, d, block_q_g), lambda g, qi: (g, 0, qi)),
-                pl.BlockSpec((1, 1, block_q_g), lambda g, qi: (g, 0, qi)),
-                pl.BlockSpec((1, 1, block_q_g), lambda g, qi: (g, 0, qi)),
-            ],
-            out_specs=pl.BlockSpec((1, d, block_q_g), lambda g, qi: (g, 0, qi)),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
-    )(
-        _pad_lanes(q3, sq_pad),
-        _pad_lanes(k3, skv_pad),
-        _pad_lanes(v3, skv_pad),
-        _pad_lanes(do3, sq_pad),
-        _pad_lanes(lse, sq_pad),
-        _pad_lanes(delta, sq_pad),
-    )[..., :Sq]
-
-    # --- dk/dv: grid over (g, kv-block), stream Q chunks ---
     block_kv_g = min(512, _round_up(kv_len, LANES))
     chunk_q = min(block_kv, _round_up(Sq, LANES))
-    skv_pad2 = _round_up(kv_len, block_kv_g)
-    sq_pad2 = _round_up(Sq, chunk_q)
-    dk, dv = pl.pallas_call(
+    skv_pad = _round_up(kv_len, block_kv_g)
+    sq_pad = _round_up(Sq, chunk_q)
+    dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _dkv_kernel, sm_scale=sm_scale, chunk=chunk_q,
-            n_chunks=sq_pad2 // chunk_q,
+            _bwd_kernel, sm_scale=sm_scale, chunk=chunk_q,
+            n_chunks=sq_pad // chunk_q,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((G, d, skv_pad2), k3.dtype),
-            jax.ShapeDtypeStruct((G, d, skv_pad2), v3.dtype),
+            jax.ShapeDtypeStruct((G, d, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((G, d, skv_pad), k3.dtype),
+            jax.ShapeDtypeStruct((G, d, skv_pad), v3.dtype),
         ),
         grid_spec=pl.GridSpec(
-            grid=(G, skv_pad2 // block_kv_g),
+            grid=(G, skv_pad // block_kv_g),
             in_specs=[
                 pl.BlockSpec((1, d, block_kv_g), lambda g, ki: (g, 0, ki)),
                 pl.BlockSpec((1, d, block_kv_g), lambda g, ki: (g, 0, ki)),
-                pl.BlockSpec((1, d, sq_pad2), lambda g, ki: (g, 0, 0)),
-                pl.BlockSpec((1, d, sq_pad2), lambda g, ki: (g, 0, 0)),
-                pl.BlockSpec((1, 1, sq_pad2), lambda g, ki: (g, 0, 0)),
-                pl.BlockSpec((1, 1, sq_pad2), lambda g, ki: (g, 0, 0)),
+                pl.BlockSpec((1, d, sq_pad), lambda g, ki: (g, 0, 0)),
+                pl.BlockSpec((1, d, sq_pad), lambda g, ki: (g, 0, 0)),
+                pl.BlockSpec((1, 1, sq_pad), lambda g, ki: (g, 0, 0)),
+                pl.BlockSpec((1, 1, sq_pad), lambda g, ki: (g, 0, 0)),
             ],
             out_specs=(
+                pl.BlockSpec((1, d, sq_pad), lambda g, ki: (g, 0, 0)),
                 pl.BlockSpec((1, d, block_kv_g), lambda g, ki: (g, 0, ki)),
                 pl.BlockSpec((1, d, block_kv_g), lambda g, ki: (g, 0, ki)),
             ),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "arbitrary"),  # dq accumulates over kv
         ),
     )(
-        _pad_lanes(k3, skv_pad2),
-        _pad_lanes(v3, skv_pad2),
-        _pad_lanes(q3, sq_pad2),
-        _pad_lanes(do3, sq_pad2),
-        _pad_lanes(lse, sq_pad2),
-        _pad_lanes(delta, sq_pad2),
+        _pad_lanes(k3, skv_pad),
+        _pad_lanes(v3, skv_pad),
+        _pad_lanes(q3, sq_pad),
+        _pad_lanes(do3, sq_pad),
+        _pad_lanes(lse, sq_pad),
+        _pad_lanes(delta, sq_pad),
     )
-    return dq, dk[..., :kv_len], dv[..., :kv_len]
+    return (
+        dq[..., :Sq].astype(q3.dtype),
+        dk[..., :kv_len],
+        dv[..., :kv_len],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -132,7 +132,7 @@ _PROGRAM_CACHE_MAX = 8
 
 def _finetune_programs(
     cfg, val_cfg, task: str, borders, lr: float, optimizer: str,
-    freeze_input: bool, params,
+    freeze_input: bool, params, remat: bool = True,
 ) -> dict[str, Any]:
     """Compiled fine-tuning programs, memoized ACROSS fine_tune_mmpfn calls.
 
@@ -153,7 +153,7 @@ def _finetune_programs(
         ).hexdigest()
     )
     key = (cfg, val_cfg, task, borders_key, float(lr), str(optimizer),
-           bool(freeze_input))
+           bool(freeze_input), bool(remat))
     progs = _PROGRAM_CACHE.get(key)
     if progs is not None:
         return progs
@@ -161,7 +161,7 @@ def _finetune_programs(
     loss_fn = get_loss_fn(task, borders)
     mask = frozen_input_mask(params, freeze_input)
     tx = make_optimizer(lr, optimizer=optimizer, freeze_mask=mask)
-    train_step = make_train_step(cfg, loss_fn, tx, remat=True)
+    train_step = make_train_step(cfg, loss_fn, tx, remat=remat)
     is_sf = optimizer == "schedule_free_adamw"
 
     # The validation set and noise table are jit ARGUMENTS, not closed over: a
@@ -339,10 +339,15 @@ def fine_tune_mmpfn(
             key_val_cfg = dataclasses.replace(val_cfg, model_seed=0)
 
     # ---- optimizer + step (compiled programs memoized across calls)
+    # Rematerialization trades ~8% step time for activation memory; with the
+    # fused/flash kernels activations are linear in rows, so small contexts
+    # skip it (12 layers x 3 sublayer inputs ~ 0.25 GB at 4k rows, bf16).
+    n_rows = len(y_train)
+    use_remat = n_rows > 4096
     t_phase = time.time()
     progs = _finetune_programs(
         key_cfg, key_val_cfg, task, borders, cfg_hp["learning_rate"],
-        cfg_hp["optimizer"], freeze_input, params,
+        cfg_hp["optimizer"], freeze_input, params, remat=use_remat,
     )
     tx = progs["tx"]
     train_step = progs["train_step"]
