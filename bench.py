@@ -239,8 +239,8 @@ def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
 
 
 def main() -> None:
-    # persistent compilation cache: repeated bench runs (and the 100-step
-    # protocol below) skip recompiles when supported by the backend
+    # persistent compilation cache (OPT-IN via MMPFN_JAX_CACHE_DIR — disabled
+    # by default because cache writes stall badly over the remote-TPU tunnel)
     from multimodalpfn_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -263,7 +263,17 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - keep the headline metric alive
         extra["mfu_error"] = repr(e)[:200]
     try:
-        ft_s, ft_warm_s, steady = finetune_protocol_seconds(X, emb, y)
+        try:
+            ft_s, ft_warm_s, steady = finetune_protocol_seconds(X, emb, y)
+        except Exception:
+            # the remote compile service occasionally 500s; retry once COLD:
+            # dropping the memoized programs forces the XLA compile again so
+            # finetune_100steps_s keeps its incl.-compile meaning
+            from multimodalpfn_tpu.train import finetune as _ft
+
+            _ft._PROGRAM_CACHE.clear()
+            extra["finetune_retried"] = True
+            ft_s, ft_warm_s, steady = finetune_protocol_seconds(X, emb, y)
         extra["finetune_100steps_s"] = round(ft_s, 1)
         extra["finetune_vs_reference_gpu"] = round(167.6 / ft_s, 2)
         # warm = every HPO trial after the first in a process (program cache)

@@ -48,6 +48,12 @@ class FullSupportBarDistribution:
 
     borders: jnp.ndarray  # (num_bars + 1,) sorted
 
+    def __post_init__(self):
+        # normalize host numpy borders (callers may pass them for content
+        # hashing) to jnp so every method can fancy-index / `.at[]` them;
+        # a no-op for jnp arrays and tracers (tree_unflatten passes tracers)
+        self.borders = jnp.asarray(self.borders)
+
     def tree_flatten(self):
         return (self.borders,), None
 
@@ -104,9 +110,7 @@ class FullSupportBarDistribution:
     def mean(self, logits):
         """reference `bar_distribution.py:588-598`: tail buckets use the
         half-normal means."""
-        # jnp.asarray: borders may be host numpy (kept numpy so jit closures
-        # embed them as host constants), and numpy arrays lack `.at`
-        bucket_means = jnp.asarray(self.borders[:-1] + self.bucket_widths / 2)
+        bucket_means = self.borders[:-1] + self.bucket_widths / 2
         s0, s1 = self._side_scales()
         bucket_means = bucket_means.at[0].set(-_halfnormal_mean(s0) + self.borders[1])
         bucket_means = bucket_means.at[-1].set(
@@ -119,7 +123,7 @@ class FullSupportBarDistribution:
         """reference `bar_distribution.py:600-627` (reproducing its tail formula,
         including the variance-in-mean quirk on the right tail)."""
         lb, rb = self.borders[:-1], self.borders[1:]
-        ms = jnp.asarray((lb**2 + rb**2 + lb * rb) / 3.0)
+        ms = (lb**2 + rb**2 + lb * rb) / 3.0
         s0, s1 = self._side_scales()
         ms = ms.at[0].set(
             _halfnormal_var(s0) + (-_halfnormal_mean(s0) + self.borders[1]) ** 2

@@ -86,10 +86,7 @@ def encoder_layer(
     )
     # --- attention between feature tokens (within each sample) ---
     if fused:
-        from multimodalpfn_tpu.ops.pallas_fused import (
-            fused_feature_attention_ln,
-            fused_mlp_ln,
-        )
+        from multimodalpfn_tpu.ops.pallas_fused import fused_feature_attention_ln
 
         state = fused_feature_attention_ln(
             state.astype(cd),

@@ -306,8 +306,10 @@ def _bwd_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bwd_impl(q3, k3, v3, o3, lse, do3, *, sm_scale, block_q, block_kv):
-    """All rank-3 (G, d, S); lse (G, 1, Sq). Returns dq, dk, dv (input dtypes)."""
+def _bwd_impl(q3, k3, v3, o3, lse, do3, *, sm_scale, block_kv):
+    """All rank-3 (G, d, S); lse (G, 1, Sq). Returns dq, dk, dv (input
+    dtypes). Backward chunking derives from ``block_kv`` alone (``block_q``
+    only shapes the forward grid)."""
     G, d, Sq = q3.shape
     kv_len = k3.shape[2]
     # delta_i = sum_d do_i * o_i - tiny (G, 1, Sq) row tensor, computed in XLA
@@ -395,9 +397,7 @@ def _fwd_t(q, k, v, sm_scale, block_q, block_kv):
 def _bwd_t(sm_scale, block_q, block_kv, res, g):
     q, k, v, o, lse = res
     scale = 1.0 / math.sqrt(q.shape[1]) if sm_scale is None else sm_scale
-    return _bwd_impl(
-        q, k, v, o, lse, g, sm_scale=scale, block_q=block_q, block_kv=block_kv
-    )
+    return _bwd_impl(q, k, v, o, lse, g, sm_scale=scale, block_kv=block_kv)
 
 
 flash_mha_t.defvjp(_fwd_t, _bwd_t)

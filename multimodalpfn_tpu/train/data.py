@@ -53,13 +53,19 @@ class EpisodeSampler:
             )
             yield from splitter.split(base, self.y if self.is_classification else None)
 
-    def _one(self) -> dict[str, np.ndarray]:
+    def _episode_indices(self) -> tuple[np.ndarray, np.ndarray]:
+        """Next fold, with the test fold equalized to ``test_size`` rows
+        (reference `data_utils.py:127-136`). Single source of truth for both
+        row-materializing and index-emitting sampling."""
         train_idx, test_idx = next(self._stream)
-        # equalize the test fold (reference `data_utils.py:127-136`)
         if len(test_idx) != self.test_size:
             cut = len(test_idx) - self.test_size
             train_idx = np.concatenate([train_idx, test_idx[:cut]])
             test_idx = test_idx[cut:]
+        return train_idx, test_idx
+
+    def _one(self) -> dict[str, np.ndarray]:
+        train_idx, test_idx = self._episode_indices()
         ep: dict[str, np.ndarray] = {
             "y_train": self.y[train_idx].astype(np.float32),
             "y_test": self.y[test_idx].astype(np.float32),
@@ -87,11 +93,7 @@ class EpisodeSampler:
         over a remote-accelerator link)."""
         tr, te = [], []
         for _ in range(batch_size):
-            train_idx, test_idx = next(self._stream)
-            if len(test_idx) != self.test_size:
-                cut = len(test_idx) - self.test_size
-                train_idx = np.concatenate([train_idx, test_idx[:cut]])
-                test_idx = test_idx[cut:]
+            train_idx, test_idx = self._episode_indices()
             tr.append(train_idx.astype(np.int32))
             te.append(test_idx.astype(np.int32))
         return {"train_idx": np.stack(tr), "test_idx": np.stack(te)}

@@ -131,7 +131,7 @@ _PROGRAM_CACHE_MAX = 8
 
 
 def _finetune_programs(
-    cfg, val_cfg, task: str, borders, lr: float, optimizer: str,
+    cfg, task: str, borders, lr: float, optimizer: str,
     freeze_input: bool, params, remat: bool = True,
 ) -> dict[str, Any]:
     """Compiled fine-tuning programs, memoized ACROSS fine_tune_mmpfn calls.
@@ -152,7 +152,7 @@ def _finetune_programs(
             np.ascontiguousarray(borders).tobytes(), digest_size=16
         ).hexdigest()
     )
-    key = (cfg, val_cfg, task, borders_key, float(lr), str(optimizer),
+    key = (cfg, task, borders_key, float(lr), str(optimizer),
            bool(freeze_input), bool(remat))
     progs = _PROGRAM_CACHE.get(key)
     if progs is not None:
@@ -170,8 +170,10 @@ def _finetune_programs(
     # would also fragment this cache per dataset.
     @jax.jit
     def val_forward(p, vd, noise):
+        # same cfg as the step: validation is forward-only, so the fused
+        # sublayer kernels apply on their inference path automatically
         return forward_train_test(
-            p, val_cfg, vd["x_tr"], vd["y_tr"], vd["x_va"], vd["i_tr"],
+            p, cfg, vd["x_tr"], vd["y_tr"], vd["x_va"], vd["i_tr"],
             vd["i_va"], feat_pos_noise=noise,
         )
 
@@ -306,8 +308,8 @@ def fine_tune_mmpfn(
     # ---- losses / metrics
     borders = None
     if task == "regression":
-        # stays numpy: a closed-over DEVICE array would be embedded as an HLO
-        # constant that lowering reads back from the device
+        # numpy here: the program cache hashes the borders by content (tiny
+        # 4 KB array); FullSupportBarDistribution normalizes to jnp itself
         borders = np.asarray(loaded.criterion_borders, dtype=np.float32)
     scorer = get_scorer(validation_metric)
 
@@ -315,9 +317,8 @@ def fine_tune_mmpfn(
     # The table is a function of model_seed; baking it into the program as a
     # constant would force a fresh XLA compile per seed. Passing it as an
     # argument lets an HPO sweep's 5 seeds share one compiled program.
-    val_cfg = dataclasses.replace(cfg, fused_ops=on_accel)
     feat_noise = None
-    key_cfg, key_val_cfg = cfg, val_cfg
+    key_cfg = cfg
     if cfg.feature_positional_embedding == "subspace":
         n_img = 0
         if image_train is not None:
@@ -336,7 +337,6 @@ def fine_tune_mmpfn(
                 ).astype(np.float32)
             )
             key_cfg = dataclasses.replace(cfg, model_seed=0)
-            key_val_cfg = dataclasses.replace(val_cfg, model_seed=0)
 
     # ---- optimizer + step (compiled programs memoized across calls)
     # Rematerialization trades ~8% step time for activation memory; with the
@@ -346,7 +346,7 @@ def fine_tune_mmpfn(
     use_remat = n_rows > 4096
     t_phase = time.time()
     progs = _finetune_programs(
-        key_cfg, key_val_cfg, task, borders, cfg_hp["learning_rate"],
+        key_cfg, task, borders, cfg_hp["learning_rate"],
         cfg_hp["optimizer"], freeze_input, params, remat=use_remat,
     )
     tx = progs["tx"]
@@ -603,10 +603,20 @@ def fine_tune_mmpfn(
     if pbar is not None:
         pbar.close()
     # drain the async writers: guarantees the best torch-format snapshot and
-    # the resume state are on disk, and surfaces any background write error
+    # the resume state are on disk. A background write error must not discard
+    # the completed run — it is logged and recorded in the history, and the
+    # final orbax snapshot below is still attempted (a caller can recover the
+    # best weights from it: it holds the final state + best_val_error).
     t_phase = time.time()
-    snap_writer.close()
-    state_writer.close()
+    write_errors: list[str] = []
+    for writer in (snap_writer, state_writer):
+        try:
+            writer.close()
+        except Exception as e:
+            logger.error("background snapshot write failed: %r", e)
+            write_errors.append(repr(e))
+    if write_errors:
+        history["snapshot_write_errors"] = write_errors
     phase_seconds["final_snapshot_flush"] = time.time() - t_phase
     # orbax-native snapshot of the final state alongside the torch-format best
     t_phase = time.time()

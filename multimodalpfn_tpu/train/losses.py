@@ -23,7 +23,7 @@ def get_loss_fn(
     """Returns loss(logits (b, s_test, n_out), y_test (b, s_test)) -> scalar."""
     if task_type == "regression":
         assert borders is not None
-        bardist = FullSupportBarDistribution(jnp.asarray(borders))
+        bardist = FullSupportBarDistribution(borders)  # normalizes to jnp itself
 
         def bar_loss(logits, y):
             return bardist.nll_loss(logits, y).mean()

@@ -5,9 +5,9 @@ large XLA compile per (episode shape x architecture); the published experiment
 driver re-runs it grid x 5 seeds times in fresh processes (``run.py:26-201``).
 A persistent on-disk cache makes every later process skip those compiles.
 
-Enabled by default from the fine-tuning and estimator entry points. Override
-the location with ``MMPFN_JAX_CACHE_DIR`` (or the standard
-``JAX_COMPILATION_CACHE_DIR``); set ``MMPFN_JAX_CACHE_DIR=""`` to disable.
+OPT-IN: inactive unless ``MMPFN_JAX_CACHE_DIR`` (or the standard
+``JAX_COMPILATION_CACHE_DIR``) points at a directory — see
+``enable_persistent_cache`` for why it is not on by default.
 """
 
 from __future__ import annotations
@@ -30,12 +30,12 @@ def enable_persistent_cache() -> None:
     global _configured
     if _configured:
         return
-    _configured = True
     cache_dir = os.environ.get(
         "MMPFN_JAX_CACHE_DIR", os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
     )
     if not cache_dir:
-        return
+        return  # not latched: setting the env var later in-process still works
+    _configured = True
     try:
         import jax
 
