@@ -136,3 +136,25 @@ def test_token_count_formula_matches_forward(mixer_kw, n_tab, n_img):
         params, cfg, xtr, ytr, xte, itr, ite, feat_pos_noise=noise
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sample_indices_matches_sample_rows():
+    """sample() and sample_indices() must draw identical episodes from the
+    same fold stream — the device-gather training path depends on it."""
+    from multimodalpfn_tpu.train.data import EpisodeSampler
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(53, 4)).astype(np.float32)
+    im = rng.normal(size=(53, 1, 8)).astype(np.float32)
+    y = rng.integers(0, 3, size=53)
+    a = EpisodeSampler(X=X, image=im, y=y, is_classification=True, seed=7)
+    b = EpisodeSampler(X=X, image=im, y=y, is_classification=True, seed=7)
+    for _ in range(12):  # crosses a fold-stream reshuffle boundary (n_splits=10)
+        rows = a.sample(2)
+        idx = b.sample_indices(2)
+        np.testing.assert_array_equal(rows["x_train"], X[idx["train_idx"]])
+        np.testing.assert_array_equal(rows["x_test"], X[idx["test_idx"]])
+        np.testing.assert_array_equal(rows["y_train"], y[idx["train_idx"]].astype(np.float32))
+        np.testing.assert_array_equal(rows["image_train"], im[idx["train_idx"]])
+        assert idx["train_idx"].shape == (2, a.train_size)
+        assert idx["test_idx"].shape == (2, a.test_size)
