@@ -69,7 +69,9 @@ def fit_predict_throughput(X, emb, y) -> tuple[float, int]:
         return dt
 
     run(0)  # warmup: compile
-    times = [run(s) for s in (0, 1, 2)]
+    # median of 5: the remote-TPU tunnel adds run-to-run variance that a
+    # median of 3 does not reliably reject
+    times = [run(s) for s in (0, 1, 2, 3, 4)]
     return n_test / float(np.median(times)), n_test
 
 
