@@ -91,3 +91,86 @@ def test_vitb14_matches_reference_torch():
         want = ref.forward_features(torch.from_numpy(imgs))["x_norm_clstoken"].numpy()
     got = np.asarray(forward_features(params, cfg, jnp.asarray(imgs))["x_norm_clstoken"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
+# --- ELECTRA text encoder (JAX) vs HF transformers --------------------------
+
+
+def test_electra_matches_hf_reference():
+    """JAX ELECTRA forward vs a random-init HF ElectraModel (same weights)."""
+    torch = pytest.importorskip("torch")
+    tfs = pytest.importorskip("transformers")
+
+    from multimodalpfn_tpu.modal.electra import (
+        ElectraConfig,
+        cls_embeddings,
+        convert_hf_state_dict,
+        forward,
+    )
+
+    hf_cfg = tfs.ElectraConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2, embedding_size=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = tfs.ElectraModel(hf_cfg).eval()
+
+    cfg = ElectraConfig(
+        vocab_size=120, hidden=32, layers=3, heads=4, intermediate=64,
+        max_position=40, type_vocab=2, embedding_size=32,
+    )
+    params = convert_hf_state_dict(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 120, size=(3, 17)).astype(np.int64)
+    mask = np.ones((3, 17), np.int64)
+    mask[1, 12:] = 0  # padding on one row
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        forward(params, cfg, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32))
+    )
+    # padded positions diverge (HF still computes them; values are unused)
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[2], want[2], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[1, :12], want[1, :12], rtol=2e-5, atol=2e-5)
+
+    # CLS-embedding contract: (B, 1, hidden), batched with a padded tail chunk
+    emb = cls_embeddings(params, cfg, ids, mask, batch_size=2)
+    assert emb.shape == (3, 1, 32)
+    np.testing.assert_allclose(emb[:, 0, :], got[:, 0, :], rtol=1e-5, atol=1e-5)
+
+
+def test_electra_small_projection_roundtrip():
+    """embedding_size != hidden exercises the embeddings_project path."""
+    torch = pytest.importorskip("torch")
+    tfs = pytest.importorskip("transformers")
+
+    from multimodalpfn_tpu.modal.electra import (
+        ElectraConfig,
+        convert_hf_state_dict,
+        forward,
+    )
+
+    hf_cfg = tfs.ElectraConfig(
+        vocab_size=90, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=24, type_vocab_size=2, embedding_size=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(1)
+    hf = tfs.ElectraModel(hf_cfg).eval()
+    cfg = ElectraConfig(
+        vocab_size=90, hidden=48, layers=2, heads=4, intermediate=96,
+        max_position=24, type_vocab=2, embedding_size=16,
+    )
+    params = convert_hf_state_dict(hf.state_dict(), cfg)
+    ids = np.random.default_rng(1).integers(0, 90, size=(2, 9)).astype(np.int64)
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(ids)).last_hidden_state.numpy()
+    got = np.asarray(forward(params, cfg, jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
