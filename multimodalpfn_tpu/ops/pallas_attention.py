@@ -95,6 +95,19 @@ def _pad_lanes(x: jnp.ndarray, to: int) -> jnp.ndarray:
 # rolled loop reuses one.
 UNROLL_LIMIT = 8
 
+# Unrolled chunk iterations each stack-allocate their (chunk, block_q) f32
+# score tile; beyond this budget the kernel must roll the loop or the 16 MB
+# scoped-VMEM limit overflows (observed at 5-8 full chunks x ~4 MB tiles for
+# contexts around 2.5-4k rows).
+UNROLL_SCORE_BYTES = 10 * 1024 * 1024
+
+
+def _should_unroll(n_iters: int, chunk: int, block: int) -> bool:
+    return (
+        n_iters <= UNROLL_LIMIT
+        and n_iters * chunk * block * 4 <= UNROLL_SCORE_BYTES
+    )
+
 
 def _fwd_kernel(
     q_ref,
@@ -151,7 +164,7 @@ def _fwd_kernel(
 
     n_full = min(kv_len // chunk, n_chunks)  # full chunks need no mask
     carry = (None, None, None)
-    if n_full <= UNROLL_LIMIT:
+    if _should_unroll(n_full, chunk, block_q):
         for ci in range(n_full):
             carry = process(ci, ci * chunk, carry, masked=False)
     else:
@@ -291,7 +304,7 @@ def _bwd_kernel(
         return dk, dv
 
     carry = (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
-    if n_chunks <= UNROLL_LIMIT:
+    if _should_unroll(n_chunks, chunk, k.shape[1]):
         for ci in range(n_chunks):
             carry = process(ci * chunk, carry)
     else:
