@@ -356,9 +356,9 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
                     [self.members[i].X_train.astype(np.float32) for i in idxs]
                 )
             )
-            img_b = (
-                None if img is None else np.broadcast_to(img[None], (len(idxs), *img.shape))
-            )
+            # singleton member axis: one device transfer + one mixer run; the
+            # cached forward broadcasts tokens across members on device
+            img_b = None if img is None else img[None]
             self.caches[(width, sep)] = (
                 _prime_cache_jit()(self.params, run_cfg, xs, ys, img_b),
                 idxs,
@@ -397,11 +397,9 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
                 if width < 0
                 else np.stack([X_tests[i].astype(np.float32) for i in idxs])
             )
-            img_b = (
-                None
-                if img_te is None
-                else np.broadcast_to(img_te[None], (len(idxs), *img_te.shape))
-            )
+            # singleton member axis (shared test image): ~1/len(idxs) of the
+            # per-predict host->device transfer, mixer runs once
+            img_b = None if img_te is None else img_te[None]
             logits = np.asarray(fwd(self.params, self._run_cfg, cache, xs, img_b))
             if pad_rows:
                 logits = logits[:, :-pad_rows]

@@ -227,6 +227,11 @@ def _prime_impl(params, cfg, x_train, y_train, image_train):
         embedded_x = apply_encoder(params["encoder"], cfg, stats, xg)
     if image_train is not None:
         tokens = apply_mixer(params["mixer"], cfg.mixer, image_train.astype(jnp.float32))
+        b = y_train.shape[0]
+        if tokens.shape[0] == 1 and b > 1:
+            # members share the image: callers pass a singleton batch axis so
+            # the mixer runs once and only one copy transfers to the device
+            tokens = jnp.broadcast_to(tokens, (b, *tokens.shape[1:]))
         embedded_x = (
             tokens if embedded_x is None else jnp.concatenate([embedded_x, tokens], -2)
         )
@@ -289,6 +294,10 @@ def _forward_cached_impl(params, cfg, cache, x_test, image_test):
         embedded_x = apply_encoder(params["encoder"], cfg, cache.stats, xg)
     if image_test is not None:
         tokens = apply_mixer(params["mixer"], cfg.mixer, image_test.astype(jnp.float32))
+        b = embedded_x.shape[0] if embedded_x is not None else cache.kv0.shape[1]
+        if tokens.shape[0] == 1 and b > 1:
+            # shared test image with a singleton batch axis (see _prime_impl)
+            tokens = jnp.broadcast_to(tokens, (b, *tokens.shape[1:]))
         embedded_x = (
             tokens if embedded_x is None else jnp.concatenate([embedded_x, tokens], -2)
         )
