@@ -87,6 +87,34 @@ def _make_registry() -> dict[str, Scorer]:
         ll = M.log_loss(y, p, labels=list(range(n_classes)))
         return float(_np.exp(-ll))
 
+    def smape(y, p):
+        # reference `ag_metrics.py:593-597` (smape_func): symmetric MAPE with
+        # an eps-guarded denominator, averaged over rows
+        y = np.asarray(y, float)
+        p = np.asarray(p, float)
+        eps = np.finfo(np.float64).eps
+        return float(
+            np.average(np.abs(p - y) / np.maximum(np.abs(y) + np.abs(p), eps))
+        )
+
+    def spearman(y, p):
+        from scipy import stats
+
+        return float(stats.spearmanr(y, p)[0])
+
+    def pearson(y, p):
+        from scipy import stats
+
+        return float(stats.pearsonr(y, p)[0])
+
+    def average_precision(y, p):
+        # threshold metric (reference `ag_metrics.py:668-672`): binary only;
+        # (n, 2) probabilities reduce to the positive-class score column
+        p = np.asarray(p)
+        if p.ndim > 1 and p.shape[-1] == 2:
+            p = p[:, 1]
+        return M.average_precision_score(y, p)
+
     return {
         "accuracy": Scorer("accuracy", acc, 1.0, True, needs_proba=True),
         "precision": Scorer("precision", precision, 1.0, True, needs_proba=True),
@@ -105,6 +133,23 @@ def _make_registry() -> dict[str, Scorer]:
         "roc_auc": Scorer("roc_auc", roc_auc, 1.0, True, needs_proba=True),
         "log_loss": Scorer("log_loss", log_loss, 0.0, False, needs_proba=True),
         "rmse": Scorer("rmse", rmse, 0.0, False),
+        "mape": Scorer(
+            "mape",
+            lambda y, p: M.mean_absolute_percentage_error(y, p),
+            0.0,
+            False,
+        ),
+        "smape": Scorer("smape", smape, 0.0, False),
+        "spearmanr": Scorer("spearmanr", spearman, 1.0, True),
+        "pearsonr": Scorer("pearsonr", pearson, 1.0, True),
+        "average_precision": Scorer(
+            "average_precision",
+            average_precision,
+            1.0,
+            True,
+            needs_proba=True,
+            needs_threshold=True,
+        ),
         "mae": Scorer(
             "mae",
             lambda y, p: __import__("sklearn.metrics", fromlist=["m"]).mean_absolute_error(y, p),
