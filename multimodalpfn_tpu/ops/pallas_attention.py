@@ -55,6 +55,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multimodalpfn_tpu.ops.pallas_fused import _compiler_params
+
 # Swept on v5e at the PAD-UFES headline shape (G=552, S=1838, d=32):
 # 2048/512 = 5.76ms vs XLA fused attention 6.29ms (block_q=whole padded Sq;
 # 256/1024 = 10.9ms, 512/1024 = 6.7ms, 1024/1024 = 6.4ms).
@@ -222,9 +224,7 @@ def _fwd_impl(q3, k3, v3, *, sm_scale, block_q, block_kv):
                 pl.BlockSpec((1, 1, block_q), lambda g, qi: (g, 0, qi)),
             ),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_compiler_params("parallel", "parallel"),
     )(qp, kp, vp)
     return o[..., :Sq], lse[..., :Sq]
 
@@ -359,9 +359,8 @@ def _bwd_impl(q3, k3, v3, o3, lse, do3, *, sm_scale, block_kv):
                 pl.BlockSpec((1, d, block_kv_g), lambda g, ki: (g, 0, ki)),
             ),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),  # dq accumulates over kv
-        ),
+        # dq accumulates over the sequential kv grid axis
+        compiler_params=_compiler_params("parallel", "arbitrary"),
     )(
         _pad_lanes(k3, skv_pad),
         _pad_lanes(v3, skv_pad),

@@ -57,6 +57,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _compiler_params(*semantics: str):
+    """CompilerParams with dimension semantics — except under the TPU
+    interpreter, where they are omitted: the interpreter (unlike the real
+    Mosaic lowering, which tracks vmap-added grid dims separately via
+    ``grid_mapping.vmapped_dims``) zips user semantics against the FULL grid
+    and crashes when vmap has prepended a batch dim. Semantics only steer
+    scheduling, never results, so interpret-mode tests lose nothing."""
+    try:
+        from jax._src import config as _jax_config
+
+        interpret = (
+            _jax_config.pallas_tpu_interpret_mode_context_manager.value
+            is not None
+        )
+    except Exception:  # pragma: no cover - private-API drift
+        interpret = False
+    if interpret:
+        return None
+    return pltpu.CompilerParams(dimension_semantics=semantics)
+
+
 def _ln_rows(x32: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Affine-free LayerNorm over the last axis, fp32 in/out
     (matches models.transformer._layer_norm / reference `layer.py:236-246`)."""
@@ -128,9 +149,7 @@ def _mlp_fwd_call(
             ],
             out_specs=pl.BlockSpec((block_rows, e), lambda i: (i, 0)),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_compiler_params("parallel"),
     )(x2, w1.astype(x.dtype), w2.astype(x.dtype))
     return out[:m].reshape(*lead, e)
 
@@ -246,9 +265,7 @@ def _attn_fwd_call(
             ],
             out_specs=pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_compiler_params("parallel"),
     )(x2, wqkv2, wout2)
     return out[:m, :t].reshape(*lead, t, e)
 
@@ -365,9 +382,8 @@ def _mlp_bwd_call(x, w1, w2, g, block_rows: int):
                 pl.BlockSpec((H, e), lambda i: (0, 0)),
             ),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),  # sequential: dw accumulates
-        ),
+        # sequential grid: dw accumulates across blocks
+        compiler_params=_compiler_params("arbitrary"),
     )(x2, g2, w1.astype(x.dtype), w2.astype(x.dtype))
     return dx[:m].reshape(x.shape), dw1.astype(w1.dtype), dw2.astype(w2.dtype)
 
@@ -577,9 +593,8 @@ def _attn_bwd_call(x, w_qkv, w_out, g, block_rows: int):
                 pl.BlockSpec((h, d, e), lambda i: (0, 0, 0)),
             ),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),  # sequential: dw accumulates
-        ),
+        # sequential grid: dw accumulates across blocks
+        compiler_params=_compiler_params("arbitrary"),
     )(x2, g2, wqkv2, wout2)
     dx = dx[:m, :t].reshape(x.shape)
     return dx, dwqkv.reshape(w_qkv.shape).astype(w_qkv.dtype), dwout.astype(w_out.dtype)

@@ -255,6 +255,14 @@ def fine_tune_batched_cells(
     loss_fn = get_loss_fn(task, borders)
     scorer = get_scorer(validation_metric)
 
+    # Training runs the fused sublayer kernels for non-padded groups, same as
+    # the single-run path (`train/finetune.py`): vmap batches the custom-VJP
+    # Pallas calls correctly (the run axis becomes a leading grid dim; grads
+    # match XLA to ~1e-6 on TPU — tools/probes/probe_vmap_fused.py). Padded
+    # groups carry a traced token_valid mask, whose masked feature attention
+    # only exists on the XLA path.
+    train_cfg = dataclasses.replace(cfg, fused_ops=on_accel and not extras)
+
     mask = frozen_input_mask(loaded.params, freeze_input)
     tx = make_optimizer(
         hps["learning_rate"], optimizer=hps["optimizer"], freeze_mask=mask
@@ -263,7 +271,7 @@ def fine_tune_batched_cells(
     def one_step(state: TrainState, batch, rng, ex):
         def compute_loss(p):
             logits = forward_train_test(
-                p, cfg,
+                p, train_cfg,
                 batch.get("x_train"), batch["y_train"], batch.get("x_test"),
                 batch.get("image_train"), batch.get("image_test"),
                 train=True, rng=rng, remat=True,
@@ -279,19 +287,15 @@ def fine_tune_batched_cells(
 
     batched_step = jax.jit(jax.vmap(one_step), donate_argnums=(0,))
 
-    # vmapped validation forward (per-run split context)
+    # vmapped validation forward (per-run split context); same kernel set as
+    # the train step (fused for non-padded groups)
     val_data = _stack_val(X, image, y, splits)
-
-    # validation is inference: the fused row-local sublayer kernels apply
-    val_cfg = dataclasses.replace(
-        cfg, fused_ops=on_accel and not extras  # fused path needs static masks
-    )
 
     @jax.jit
     def val_logits(params_s):
         return jax.vmap(
             lambda p, d, ex: forward_train_test(
-                p, val_cfg,
+                p, train_cfg,
                 d.get("x_train"), d["y_train"], d.get("x_val"),
                 d.get("image_train"), d.get("image_val"),
                 mgm_active=ex.get("mgm_active"),

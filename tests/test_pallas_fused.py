@@ -168,3 +168,49 @@ def test_train_forward_grads_fused_vs_xla():
     flat_f = jax.tree_util.tree_leaves(gf)
     for a, b_ in zip(flat_x, flat_f):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=5e-4, atol=1e-6)
+
+
+def test_vmapped_fused_grads_match_xla():
+    """The batched-cells train path vmaps the custom-VJP Pallas sublayers over
+    the run axis (per-run weights). The run axis becomes a leading grid dim in
+    the pallas_call; this checks the sequential dw accumulation still keys on
+    the row-block axis (not the batch axis) — i.e. vmapped grads == vmapped
+    XLA grads per run."""
+    from multimodalpfn_tpu.models.transformer import _layer_norm, _mlp
+    from multimodalpfn_tpu.ops.attention import self_attention
+    from multimodalpfn_tpu.ops.pallas_fused import (
+        fused_feature_attention_ln,
+        fused_mlp_ln,
+    )
+
+    rng = np.random.default_rng(7)
+    G, b, S, t, e, h, d, H = 3, 1, 9, 13, 32, 4, 8, 64
+    x = jnp.asarray(rng.normal(size=(G, b, S, t, e)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(G, e, H)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(G, H, e)) * 0.1, jnp.float32)
+    w_qkv = jnp.asarray(rng.normal(size=(G, 3, h, d, e)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.normal(size=(G, h, d, e)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, S, t, e)), jnp.float32)
+
+    def loss_fused(x, w1, w2, wqkv, wout):
+        o = fused_feature_attention_ln(x, wqkv, wout, block_rows=16)
+        o = fused_mlp_ln(o, w1, w2, block_rows=16)
+        return jnp.sum(o * g)
+
+    def loss_xla(x, w1, w2, wqkv, wout):
+        o = _layer_norm(x + self_attention(x, wqkv, wout, compute_dtype=jnp.float32))
+        o = _layer_norm(o + _mlp(o, w1, w2, jnp.float32))
+        return jnp.sum(o * g)
+
+    with pltpu.force_tpu_interpret_mode():
+        lf, gf = jax.vmap(
+            jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3, 4))
+        )(x, w1, w2, w_qkv, w_out)
+    lx, gx = jax.vmap(
+        jax.value_and_grad(loss_xla, argnums=(0, 1, 2, 3, 4))
+    )(x, w1, w2, w_qkv, w_out)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lx), rtol=2e-5)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-5
+        )
