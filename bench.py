@@ -198,6 +198,156 @@ def train_step_mfu(n_chain: int = 8) -> dict:
     }
 
 
+def sweep_metrics(n_runs: int = 8, n_chain: int = 4) -> dict:
+    """North-star sweep regime: N independent fine-tune runs resident on one
+    chip, advancing as ONE vmapped step stream (`train/finetune_batch.py`,
+    BASELINE.json config 5 — replaces the reference's `run0.sh`/`run1.sh`
+    process queues). Reports aggregate run-steps/s and aggregate MFU.
+
+    Same step structure as `fine_tune_batched_cells` (vmapped value_and_grad +
+    optimizer over stacked per-run params, fused kernels, remat); timed
+    latency-corrected by chaining steps inside one jit (the axon tunnel adds
+    ~30 ms per host sync).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalpfn_tpu.models.config import MixerConfig, ModelConfig
+    from multimodalpfn_tpu.models.params import init_params
+    from multimodalpfn_tpu.models.transformer import forward_train_test
+    from multimodalpfn_tpu.train.losses import get_loss_fn
+    from multimodalpfn_tpu.train.step import (
+        TrainState,
+        frozen_input_mask,
+        init_train_state,
+        make_optimizer,
+    )
+
+    on_accel = jax.devices()[0].platform not in ("cpu",)
+    cfg = ModelConfig(
+        emsize=192, nhead=6, nhid_factor=4, nlayers=12, features_per_group=1,
+        n_out=10, max_num_classes=10,
+        compute_dtype="bfloat16" if on_accel else "float32",
+        use_flash=on_accel, fused_ops=on_accel,
+        mixer=MixerConfig(
+            mixer_type="MGM+CAP", mgm_heads=BENCH_MGM, cap_heads=BENCH_CAP,
+            in_dim=768,
+        ),
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg, model_seed=0)
+    params_s = jax.tree.map(
+        lambda p: jnp.array(jnp.broadcast_to(p, (n_runs, *p.shape))), params
+    )
+    b, s_tr, s_te, F = 1, 1323, 147, 21
+    rng = np.random.default_rng(0)
+    batch = {
+        "x_train": jnp.asarray(rng.normal(size=(n_runs, b, s_tr, F)), jnp.float32),
+        "y_train": jnp.asarray(
+            rng.integers(0, 6, size=(n_runs, b, s_tr)), jnp.float32
+        ),
+        "x_test": jnp.asarray(rng.normal(size=(n_runs, b, s_te, F)), jnp.float32),
+        "y_test": jnp.asarray(
+            rng.integers(0, 6, size=(n_runs, b, s_te)), jnp.float32
+        ),
+        "image_train": jnp.asarray(
+            rng.normal(size=(n_runs, b, s_tr, 1, 768)), jnp.float32
+        ),
+        "image_test": jnp.asarray(
+            rng.normal(size=(n_runs, b, s_te, 1, 768)), jnp.float32
+        ),
+    }
+    loss_fn = get_loss_fn("multiclass")
+    tx = make_optimizer(1e-5, freeze_mask=frozen_input_mask(params, True))
+
+    def one_step(state, bt, key):
+        def compute_loss(p):
+            logits = forward_train_test(
+                p, cfg, bt["x_train"], bt["y_train"], bt["x_test"],
+                bt["image_train"], bt["image_test"],
+                train=True, rng=key, remat=True,
+            )
+            return loss_fn(logits, bt["y_test"])
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        p = jax.tree.map(lambda a, u: a + u, state.params, updates)
+        return TrainState(p, opt_state, state.step + 1), loss
+
+    vstep = jax.vmap(one_step, in_axes=(0, 0, 0))
+    keys = jax.random.split(jax.random.PRNGKey(1), n_runs)
+
+    def chain(n):
+        @jax.jit
+        def run(st):
+            def body(st, _):
+                st, losses = vstep(st, batch, keys)
+                return st, losses
+
+            st, losses = jax.lax.scan(body, st, None, length=n)
+            return losses[-1]
+
+        return run
+
+    state = jax.vmap(lambda p: init_train_state(p, tx))(params_s)
+    f1, fn = chain(1), chain(1 + n_chain)
+    np.asarray(f1(state)), np.asarray(fn(state))  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(f1(state))
+        t1 = time.time()
+        np.asarray(fn(state))
+        ts.append((time.time() - t1) - (t1 - t0))
+    dt = float(np.median(ts)) / n_chain
+
+    fwd_flops = model_matmul_flops(
+        e=cfg.emsize, nhead=cfg.nhead, nhid=cfg.nhid, nlayers=cfg.nlayers,
+        b=b, s=s_tr + s_te, s_tr=s_tr, s_te=s_te,
+        t=F + BENCH_CAP + 1, in_dim=768, mgm=BENCH_MGM, cap=BENCH_CAP,
+        n_out=cfg.n_out,
+    )
+    flops = 3.0 * fwd_flops * n_runs
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind, 197e12)
+    return {
+        "sweep_runs": n_runs,
+        "sweep_step_ms": round(dt * 1e3, 2),
+        "sweep_run_steps_per_s": round(n_runs / dt, 2),
+        "sweep_steps_per_s": round(n_runs / dt, 2),
+        "sweep_mfu": round(flops / dt / peak, 4),
+    }
+
+
+def serving_metrics(X, emb, y, n_repeat: int = 11) -> dict:
+    """Serving regime: fit once with the functional KV cache
+    (`fit_mode="fit_with_cache"`, reference CacheKV mode `inference.py:354-513`),
+    then repeated `predict_proba` calls on the held-out split. Reports steady
+    samples/s and p50 per-predict wall latency (includes host dispatch — the
+    honest per-request number over the axon tunnel)."""
+    from multimodalpfn_tpu import MMPFNClassifier
+
+    ntr = int(len(X) * 0.8)
+    n_test = len(X) - ntr
+    clf = MMPFNClassifier(
+        model_path="random:0", mixer_type="MGM+CAP", mgm_heads=BENCH_MGM,
+        cap_heads=BENCH_CAP, features_per_group=1, n_estimators=BENCH_EST,
+        random_state=0, fit_mode="fit_with_cache",
+    )
+    clf.fit(X[:ntr], emb[:ntr], y[:ntr])
+    clf.predict_proba(X[ntr:], emb[ntr:])  # warmup: compile
+    lats = []
+    for _ in range(n_repeat):
+        t0 = time.time()
+        clf.predict_proba(X[ntr:], emb[ntr:])
+        lats.append(time.time() - t0)
+    p50 = float(np.median(lats))
+    return {
+        "serving_samples_per_s": round(n_test / p50, 1),
+        "serving_p50_predict_ms": round(p50 * 1e3, 1),
+        "serving_batch_rows": n_test,
+    }
+
+
 def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
     """The reference protocol: 100 steps + per-step validation, bs 1, frozen
     input encoders (reference 167.6 s on GPU, BASELINE.md). Returns
@@ -264,6 +414,14 @@ def main() -> None:
         extra.update(train_step_mfu())
     except Exception as e:  # pragma: no cover - keep the headline metric alive
         extra["mfu_error"] = repr(e)[:200]
+    try:
+        extra.update(sweep_metrics())
+    except Exception as e:  # pragma: no cover
+        extra["sweep_error"] = repr(e)[:200]
+    try:
+        extra.update(serving_metrics(X, emb, y))
+    except Exception as e:  # pragma: no cover
+        extra["serving_error"] = repr(e)[:200]
     try:
         try:
             ft_s, ft_warm_s, steady = finetune_protocol_seconds(X, emb, y)
