@@ -74,6 +74,10 @@ class ModelConfig:
     # fused row-local sublayer kernels (feature-attention+LN, MLP+LN) for the
     # inference path (ops/pallas_fused.py); ignored under train=True
     fused_ops: bool = False
+    # fully-fused item-attention sublayer (in-kernel QKV projections + flash,
+    # ops/pallas_item_fused.py); effective only when use_flash is also on and
+    # the shape qualifies — escape hatch for A/B measurement
+    fused_item: bool = True
 
     @property
     def nhid(self) -> int:

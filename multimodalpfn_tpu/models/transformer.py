@@ -114,6 +114,7 @@ def encoder_layer(
         multiquery_test=cfg.multiquery_item_attention_for_test_set,
         compute_dtype=cd,
         use_flash=cfg.use_flash,
+        fused_item=cfg.use_flash and cfg.fused_item,
         ring_axis=cfg.seq_shard_axis,
     )
     state = _layer_norm(state + jnp.swapaxes(h, 1, 2)).astype(cd)

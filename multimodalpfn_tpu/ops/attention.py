@@ -25,6 +25,13 @@ def _softmax_f32(logits: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
 
+def _MAX_FUSED_ITEM_ROWS() -> int:
+    # lazy: keep the Pallas module unimported until a caller opts in
+    from multimodalpfn_tpu.ops.pallas_item_fused import MAX_FUSED_ITEM_ROWS
+
+    return MAX_FUSED_ITEM_ROWS
+
+
 def mha(
     x_q: jnp.ndarray,
     x_kv: jnp.ndarray,
@@ -181,6 +188,7 @@ def _ring_mha(
     ring_axis: str,
     kv_head0_only: bool = False,
     compute_dtype=jnp.float32,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """Sequence-parallel attention: KV ring-sharded over ``ring_axis`` of the
     ambient mesh (jax.set_mesh), queries replicated — per-chip KV memory is
@@ -216,7 +224,10 @@ def _ring_mha(
         v = jnp.einsum(
             "...si,di->...sd", xkv, wv[0], preferred_element_type=acc
         ).reshape(B, 1, Skv, d)
-        o = ring_attention(q, k, v, axis=ring_axis, sm_scale=1.0 / _math.sqrt(d))
+        o = ring_attention(
+            q, k, v, axis=ring_axis, sm_scale=1.0 / _math.sqrt(d),
+            use_flash=use_flash,
+        )
         o = o.reshape(*lead, h, Sq, d)
     else:
         q = jnp.einsum(
@@ -228,7 +239,10 @@ def _ring_mha(
         v = jnp.einsum(
             "...si,hdi->...hsd", xkv, wv, preferred_element_type=acc
         ).reshape(B, h, Skv, d)
-        o = ring_attention(q, k, v, axis=ring_axis, sm_scale=1.0 / _math.sqrt(d))
+        o = ring_attention(
+            q, k, v, axis=ring_axis, sm_scale=1.0 / _math.sqrt(d),
+            use_flash=use_flash,
+        )
         o = o.reshape(*lead, h, Sq, d)
     return jnp.einsum(
         "...hqd,hdo->...qo",
@@ -248,6 +262,7 @@ def item_attention(
     multiquery_test: bool = True,
     compute_dtype=jnp.float32,
     use_flash: bool = False,
+    fused_item: bool = False,
     ring_axis: str | None = None,
 ) -> jnp.ndarray:
     """Two-block attention over the items/samples axis.
@@ -257,22 +272,38 @@ def item_attention(
     only, sharing KV head 0 across query heads when ``multiquery_test``.
     Mirrors reference `layer.py:341-395`.
 
+    ``fused_item``: dispatch to the fully-fused Pallas sublayer (in-kernel
+    projections + flash, `ops/pallas_item_fused.py`) when the shape qualifies;
+    otherwise this falls through to the flash/XLA paths below.
     ``ring_axis``: sequence parallelism — ring-shard the train-row KV over this
     mesh axis for contexts beyond one chip's HBM (cfg.seq_shard_axis).
     """
     sep = single_eval_pos
+    if (
+        fused_item
+        and ring_axis is None
+        and multiquery_test
+        and 512 <= sep
+        and sep <= _MAX_FUSED_ITEM_ROWS()
+    ):
+        from multimodalpfn_tpu.ops.pallas_item_fused import fused_item_attention
+
+        return fused_item_attention(
+            x, w_qkv, w_out, single_eval_pos=sep, compute_dtype=compute_dtype
+        )
     train = x[..., :sep, :]
     test = x[..., sep:, :]
     if ring_axis is not None:
         out_train = _ring_mha(
             train, train, w_qkv, w_out, ring_axis=ring_axis,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, use_flash=use_flash,
         )
         if test.shape[-2] == 0:
             return out_train
         out_test = _ring_mha(
             test, train, w_qkv, w_out, ring_axis=ring_axis,
             kv_head0_only=multiquery_test, compute_dtype=compute_dtype,
+            use_flash=use_flash,
         )
         return jnp.concatenate([out_train, out_test], axis=-2)
     # Trace-time dispatch: the fused transposed-layout kernel beats the XLA path

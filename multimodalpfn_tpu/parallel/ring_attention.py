@@ -1,4 +1,5 @@
-"""Ring attention: item-axis attention with KV sharded across the mesh.
+"""Ring attention: item-axis attention with KV sharded across the mesh,
+forward AND backward (training-grade).
 
 The reference has no sequence parallelism (SURVEY.md §5 long-context: it chunks
 compute on one device). On TPU, contexts beyond one chip's HBM shard the *samples*
@@ -7,13 +8,32 @@ shards rotate around the ring (`lax.ppermute` over ICI) while every device
 accumulates online-softmax statistics for its queries — compute overlaps the
 neighbor exchange, memory per chip is O(S/n_devices).
 
-This is the XLA-level (shard_map) formulation; it composes with the Pallas flash
-kernel per-shard when shards are long enough.
+Design:
+
+  * Per-shard blocks merge in the NORMALIZED (o, lse) form:
+    ``lse = logaddexp(lse_a, lse_b); o = o_a·e^{lse_a−lse} + o_b·e^{lse_b−lse}``
+    — so a block contribution needs only an output and a log-sum-exp, which is
+    exactly what the Pallas flash kernel emits. With ``use_flash`` each shard's
+    block runs `pallas_attention._fwd_impl` (never materializes the per-shard
+    score tensor: per-chip score memory O(shard·block), not O(Sq·S/n)).
+  * The backward is a ``jax.custom_vjp`` running a SECOND ring pass
+    (fori_loop is not reverse-differentiable, and scan would save every
+    visiting KV shard — O(S) per chip, defeating the point): dq accumulates
+    locally from the saved lse/delta while each (k, v, dk, dv) quadruple
+    rotates the full circle and arrives home with its complete gradient. Peak
+    per-chip memory stays O(S/n) in KV terms.
+  * Replicated-query variant: every device accumulates the COMPLETE dq and
+    computes the complete dk/dv of whichever shard is visiting (overwrite,
+    not accumulate); the invariant re-typing for the replicated output/dq
+    happens inside the custom_vjp (pmean of identical values), so the
+    shard_map transpose stays exact. Sharded-query inputs accumulate dk/dv
+    around the ring and need no correction.
 """
 
 from __future__ import annotations
 
 
+import functools
 import math
 
 import jax
@@ -35,19 +55,163 @@ def _axis_size(mesh: Mesh | None, axis: str) -> int:
     return mesh.shape[axis]
 
 
-def _block_attention(q, k, v, sm_scale):
-    """Unnormalized block contribution + stats. q: (B,h,Sq,d); k/v: (B,h,Skv,d)."""
+# flash per-shard pays off only when the shard is long enough to fill lane
+# blocks; below this the XLA block formulation is used inside the ring
+MIN_FLASH_SHARD = 512
+
+
+def _block_o_lse(q, k, v, scale, use_flash):
+    """Normalized block output + lse. q: (B,h,Sq,d); k/v: (B,h,Skv,d).
+    Returns o (B,h,Sq,d) f32, lse (B,h,Sq) f32."""
+    B, h, Sq, d = q.shape
+    Skv = k.shape[2]
+    if use_flash and Skv >= MIN_FLASH_SHARD:
+        from multimodalpfn_tpu.ops.pallas_attention import _fwd_impl
+
+        q3 = jnp.swapaxes(q, 2, 3).reshape(B * h, d, Sq)
+        k3 = jnp.swapaxes(k, 2, 3).reshape(B * h, d, Skv)
+        v3 = jnp.swapaxes(v, 2, 3).reshape(B * h, d, Skv)
+        o3, lse3 = _fwd_impl(
+            q3.astype(q.dtype), k3.astype(k.dtype), v3.astype(v.dtype),
+            sm_scale=scale, block_q=2048, block_kv=512,
+        )
+        o = jnp.swapaxes(o3.reshape(B, h, d, Sq), 2, 3)
+        lse = lse3.reshape(B, h, Sq)
+        return o, lse
     s = (
         jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        * sm_scale
+        * scale
     )
     m = jnp.max(s, axis=-1)  # (B,h,Sq)
     p = jnp.exp(s - m[..., None])
     l = jnp.sum(p, axis=-1)
-    acc = jnp.einsum(
-        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ) / l[..., None]
+    return o, m + jnp.log(l)
+
+
+def _rot(x, axis, n):
+    perm = [(j, (j + 1) % n) for j in range(n)]
+    return jax.lax.ppermute(x, axis, perm)
+
+
+def _vary(x, axis):
+    return jax.lax.pcast(x, axis, to="varying")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _ring_core(q_loc, k_loc, v_loc, axis, n, scale, use_flash, q_replicated):
+    """Local-shard ring attention: q_loc attends to ALL kv shards rotating
+    around ``axis``. Returns the complete normalized output for q_loc's rows.
+    With ``q_replicated`` the output is re-typed ring-invariant (numerically
+    the identity — every device accumulated the identical full result)."""
+    o, _ = _ring_fwd_impl(q_loc, k_loc, v_loc, axis, n, scale, use_flash)
+    if q_replicated:
+        o = jax.lax.pmean(o, axis)
+    return o
+
+
+def _ring_fwd_impl(q_loc, k_loc, v_loc, axis, n, scale, use_flash):
+    B, h, Sq, d = q_loc.shape
+
+    def step(i, carry):
+        k_cur, v_cur, o, lse = carry
+        o_b, lse_b = _block_o_lse(q_loc, k_cur, v_cur, scale, use_flash)
+        lse_new = jnp.logaddexp(lse, lse_b)
+        o = (
+            o * jnp.exp(lse - lse_new)[..., None]
+            + o_b * jnp.exp(lse_b - lse_new)[..., None]
+        )
+        return _rot(k_cur, axis, n), _rot(v_cur, axis, n), o, lse_new
+
+    # stats vary across the ring axis from step 1 on; mark them varying up
+    # front so the fori_loop carry type is stable under shard_map
+    o0 = _vary(jnp.zeros((B, h, Sq, d), jnp.float32), axis)
+    lse0 = _vary(jnp.full((B, h, Sq), -jnp.inf, jnp.float32), axis)
+    _, _, o, lse = jax.lax.fori_loop(0, n, step, (k_loc, v_loc, o0, lse0))
+    return o, lse
+
+
+def _ring_core_fwd(q_loc, k_loc, v_loc, axis, n, scale, use_flash, q_replicated):
+    o, lse = _ring_fwd_impl(q_loc, k_loc, v_loc, axis, n, scale, use_flash)
+    if q_replicated:
+        o = jax.lax.pmean(o, axis)
+    return o, (q_loc, k_loc, v_loc, o, lse)
+
+
+def _ring_core_bwd(axis, n, scale, use_flash, q_replicated, res, g):
+    q_loc, k_loc, v_loc, o, lse = res
+    g = g.astype(jnp.float32)
+    delta = jnp.sum(g * o, axis=-1)  # (B,h,Sq)
+    cd = q_loc.dtype
+
+    def step(i, carry):
+        k_cur, v_cur, dk_cur, dv_cur, dq = carry
+        s = (
+            jnp.einsum(
+                "bhqd,bhkd->bhqk", q_loc.astype(cd), k_cur,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        p = jnp.exp(s - lse[..., None])  # (B,h,Sq,Skv_shard)
+        dv_blk = jnp.einsum(
+            "bhqk,bhqd->bhkd", p.astype(cd), g.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jnp.einsum(
+            "bhqd,bhkd->bhqk", g.astype(cd), v_cur,
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta[..., None]) * scale).astype(cd)
+        dq = dq + jnp.einsum(
+            "bhqk,bhkd->bhqd", ds, k_cur, preferred_element_type=jnp.float32
+        )
+        dk_blk = jnp.einsum(
+            "bhqk,bhqd->bhkd", ds, q_loc.astype(cd),
+            preferred_element_type=jnp.float32,
+        )
+        # with replicated queries every device computes the COMPLETE dk/dv for
+        # the visiting shard (it holds all the query rows) — overwrite, don't
+        # double-count; with sharded queries each device adds its rows' part
+        if q_replicated:
+            dk_new = dk_blk
+            dv_new = dv_blk
+        else:
+            dk_new = dk_cur + dk_blk
+            dv_new = dv_cur + dv_blk
+        # (k, dk) and (v, dv) travel together; after n rotations each pair is
+        # home with gradient contributions from every device's queries
+        return (
+            _rot(k_cur, axis, n),
+            _rot(v_cur, axis, n),
+            _rot(dk_new, axis, n),
+            _rot(dv_new, axis, n),
+            dq,
+        )
+
+    dk0 = _vary(jnp.zeros(k_loc.shape, jnp.float32), axis)
+    dv0 = _vary(jnp.zeros(v_loc.shape, jnp.float32), axis)
+    dq0 = _vary(jnp.zeros(q_loc.shape, jnp.float32), axis)
+    _, _, dk, dv, dq = jax.lax.fori_loop(
+        0, n, step, (k_loc, v_loc, dk0, dv0, dq0)
     )
-    return m, l, acc
+    if q_replicated:
+        # every device accumulated the COMPLETE dq (each saw every KV shard);
+        # pmean re-types it as ring-invariant — numerically the identity — so
+        # the shard_map transpose of the replicated q input is exact
+        dq = jax.lax.pmean(dq, axis)
+        # dk/dv stay varying (they are true shards) — nothing to do
+    return (
+        dq.astype(q_loc.dtype),
+        dk.astype(k_loc.dtype),
+        dv.astype(v_loc.dtype),
+    )
+
+
+_ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
 
 
 def ring_attention(
@@ -58,44 +222,24 @@ def ring_attention(
     mesh: Mesh | None = None,
     axis: str = "dp",
     sm_scale: float | None = None,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """Non-causal attention with K/V sharded on `axis` along the sequence dim.
 
     q: (B, h, Sq, d) replicated; k, v: (B, h, Skv, d) — Skv must divide by the
     axis size. Returns (B, h, Sq, d) fp32, replicated. ``mesh=None`` uses the
     ambient mesh (jax.set_mesh), so this composes with jitted callers.
+    Differentiable (custom ring backward); ``use_flash`` runs each shard's
+    block through the Pallas flash forward.
     """
     scale = 1.0 / math.sqrt(q.shape[-1]) if sm_scale is None else sm_scale
     n = _axis_size(mesh, axis)
 
     def inner(q_loc, k_loc, v_loc):
-        def step(i, carry):
-            k_cur, v_cur, m, l, acc = carry
-            m_b, l_b, acc_b = _block_attention(q_loc, k_cur, v_cur, scale)
-            m_new = jnp.maximum(m, m_b)
-            alpha = jnp.exp(m - m_new)
-            beta = jnp.exp(m_b - m_new)
-            l = l * alpha + l_b * beta
-            acc = acc * alpha[..., None] + acc_b * beta[..., None]
-            perm = [(j, (j + 1) % n) for j in range(n)]
-            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
-            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-            return k_nxt, v_nxt, m_new, l, acc
-
-        B, h, Sq, d = q_loc.shape
-        # stats vary across the ring axis from step 1 on; mark them varying up
-        # front so the fori_loop carry type is stable under shard_map
-        m0 = jax.lax.pcast(
-            jnp.full((B, h, Sq), -jnp.inf, jnp.float32), axis, to="varying"
-        )
-        l0 = jax.lax.pcast(jnp.zeros((B, h, Sq), jnp.float32), axis, to="varying")
-        a0 = jax.lax.pcast(
-            jnp.zeros((B, h, Sq, d), jnp.float32), axis, to="varying"
-        )
-        _, _, m, l, acc = jax.lax.fori_loop(
-            0, n, step, (k_loc, v_loc, m0, l0, a0)
-        )
-        return jax.lax.pmean(acc / l[..., None], axis)
+        # the invariant re-typing for the P() out_spec happens INSIDE the
+        # custom_vjp (fwd pmean), so the backward receives the full replicated
+        # cotangent rather than shard_map's 1/n-scaled pmean transpose
+        return _ring_core(q_loc, k_loc, v_loc, axis, n, scale, use_flash, True)
 
     return shard_map(
         inner,
@@ -113,40 +257,15 @@ def ring_attention_sharded_queries(
     mesh: Mesh | None = None,
     axis: str = "dp",
     sm_scale: float | None = None,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """Variant with queries ALSO sharded on the sequence axis (full sequence
-    parallelism: per-chip memory O(S/n) for q, k, v, and output)."""
+    parallelism: per-chip memory O(S/n) for q, k, v, output, AND gradients)."""
     scale = 1.0 / math.sqrt(q.shape[-1]) if sm_scale is None else sm_scale
     n = _axis_size(mesh, axis)
 
     def inner(q_loc, k_loc, v_loc):
-        def step(i, carry):
-            k_cur, v_cur, m, l, acc = carry
-            m_b, l_b, acc_b = _block_attention(q_loc, k_cur, v_cur, scale)
-            m_new = jnp.maximum(m, m_b)
-            alpha = jnp.exp(m - m_new)
-            beta = jnp.exp(m_b - m_new)
-            l = l * alpha + l_b * beta
-            acc = acc * alpha[..., None] + acc_b * beta[..., None]
-            perm = [(j, (j + 1) % n) for j in range(n)]
-            return (
-                jax.lax.ppermute(k_cur, axis, perm),
-                jax.lax.ppermute(v_cur, axis, perm),
-                m_new,
-                l,
-                acc,
-            )
-
-        B, h, Sq, d = q_loc.shape
-        m0 = jax.lax.pcast(
-            jnp.full((B, h, Sq), -jnp.inf, jnp.float32), axis, to="varying"
-        )
-        l0 = jax.lax.pcast(jnp.zeros((B, h, Sq), jnp.float32), axis, to="varying")
-        a0 = jax.lax.pcast(
-            jnp.zeros((B, h, Sq, d), jnp.float32), axis, to="varying"
-        )
-        _, _, m, l, acc = jax.lax.fori_loop(0, n, step, (k_loc, v_loc, m0, l0, a0))
-        return acc / l[..., None]
+        return _ring_core(q_loc, k_loc, v_loc, axis, n, scale, use_flash, False)
 
     return shard_map(
         inner,

@@ -30,11 +30,12 @@ from multimodalpfn_tpu.train.step import (
 N_RUNS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 FUSED = sys.argv[2] != "0" if len(sys.argv) > 2 else True
 REMAT = sys.argv[3] != "0" if len(sys.argv) > 3 else True
+FUSED_ITEM = sys.argv[4] != "0" if len(sys.argv) > 4 else True
 
 cfg = ModelConfig(
     emsize=192, nhead=6, nhid_factor=4, nlayers=12, features_per_group=1,
     n_out=10, max_num_classes=10, compute_dtype="bfloat16", use_flash=True,
-    fused_ops=FUSED,
+    fused_ops=FUSED, fused_item=FUSED_ITEM,
     mixer=MixerConfig(mixer_type="MGM+CAP", mgm_heads=16, cap_heads=8, in_dim=768),
 )
 params = init_params(jax.random.PRNGKey(0), cfg, model_seed=0)
@@ -98,5 +99,5 @@ for _ in range(3):
     t0 = time.time(); np.asarray(f1(state)); t1 = time.time()
     np.asarray(fn(state)); ts.append((time.time() - t1) - (t1 - t0))
 dt = float(np.median(ts)) / N_CHAIN
-print(f"n_runs={N_RUNS} fused={FUSED} remat={REMAT}: {dt*1e3:.1f} ms/step "
+print(f"n_runs={N_RUNS} fused={FUSED} remat={REMAT} fused_item={FUSED_ITEM}: {dt*1e3:.1f} ms/step "
       f"({dt*1e3/N_RUNS:.1f} ms/run-step, {N_RUNS/dt:.1f} run-steps/s)")
