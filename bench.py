@@ -198,16 +198,22 @@ def train_step_mfu(n_chain: int = 8) -> dict:
     }
 
 
-def sweep_metrics(n_runs: int = 8, n_chain: int = 4) -> dict:
+def sweep_metrics(n_runs: int = 4, n_steps: int = 20) -> dict:
     """North-star sweep regime: N independent fine-tune runs resident on one
     chip, advancing as ONE vmapped step stream (`train/finetune_batch.py`,
     BASELINE.json config 5 — replaces the reference's `run0.sh`/`run1.sh`
     process queues). Reports aggregate run-steps/s and aggregate MFU.
 
     Same step structure as `fine_tune_batched_cells` (vmapped value_and_grad +
-    optimizer over stacked per-run params, fused kernels, remat); timed
-    latency-corrected by chaining steps inside one jit (the axon tunnel adds
-    ~30 ms per host sync).
+    optimizer over stacked per-run params, fused kernels; remat OFF — at
+    n_runs=4 the un-rematerialized activations fit HBM and the step is ~35%
+    faster, n_runs=8 without remat exceeds the 16 GB chip). Timed as
+    ``n_steps`` back-to-back donated dispatches with ONE device->host fetch at
+    the end — what production (`fine_tune_batched_cells`) actually issues per
+    episode; dispatches pipeline on the device queue, so per-step wall
+    converges to device time (matches the profiler's module time to <1 ms).
+    A scan-chained measurement is deliberately NOT used: the scan carry adds
+    ~100 ms/step of copy traffic the per-episode production loop never pays.
     """
     import jax
     import jax.numpy as jnp
@@ -264,7 +270,7 @@ def sweep_metrics(n_runs: int = 8, n_chain: int = 4) -> dict:
             logits = forward_train_test(
                 p, cfg, bt["x_train"], bt["y_train"], bt["x_test"],
                 bt["image_train"], bt["image_test"],
-                train=True, rng=key, remat=True,
+                train=True, rng=key, remat=False,
             )
             return loss_fn(logits, bt["y_test"])
 
@@ -273,32 +279,22 @@ def sweep_metrics(n_runs: int = 8, n_chain: int = 4) -> dict:
         p = jax.tree.map(lambda a, u: a + u, state.params, updates)
         return TrainState(p, opt_state, state.step + 1), loss
 
-    vstep = jax.vmap(one_step, in_axes=(0, 0, 0))
+    vstep = jax.jit(jax.vmap(one_step, in_axes=(0, 0, 0)), donate_argnums=(0,))
     keys = jax.random.split(jax.random.PRNGKey(1), n_runs)
 
-    def chain(n):
-        @jax.jit
-        def run(st):
-            def body(st, _):
-                st, losses = vstep(st, batch, keys)
-                return st, losses
-
-            st, losses = jax.lax.scan(body, st, None, length=n)
-            return losses[-1]
-
-        return run
-
     state = jax.vmap(lambda p: init_train_state(p, tx))(params_s)
-    f1, fn = chain(1), chain(1 + n_chain)
-    np.asarray(f1(state)), np.asarray(fn(state))  # compile
+    state, loss = vstep(state, batch, keys)
+    np.asarray(loss)  # compile
+    state, loss = vstep(state, batch, keys)
+    np.asarray(loss)  # warm the dispatch queue
     ts = []
     for _ in range(3):
         t0 = time.time()
-        np.asarray(f1(state))
-        t1 = time.time()
-        np.asarray(fn(state))
-        ts.append((time.time() - t1) - (t1 - t0))
-    dt = float(np.median(ts)) / n_chain
+        for _ in range(n_steps):
+            state, loss = vstep(state, batch, keys)
+        np.asarray(loss)
+        ts.append((time.time() - t0) / n_steps)
+    dt = float(np.median(ts))
 
     fwd_flops = model_matmul_flops(
         e=cfg.emsize, nhead=cfg.nhead, nhid=cfg.nhid, nlayers=cfg.nlayers,

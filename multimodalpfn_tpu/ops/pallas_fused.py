@@ -190,7 +190,7 @@ def _feat_attn_kernel(
     k = proj(wk)
     v = proj(wv)
 
-    acc = None
+    os_ = []
     for hh in range(h):  # static unroll over the 6 heads
         q_h = q[..., hh * d : (hh + 1) * d]  # (R, t, d)
         k_h = k[..., hh * d : (hh + 1) * d]
@@ -209,14 +209,14 @@ def _feat_attn_kernel(
             p.astype(v_h.dtype), v_h, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, t, d)
-        # out-projection slice for this head: (R, t, d) @ (d, e)
-        part = _dot_g(
-            o_h.astype(x.dtype),
-            wout_ref[hh],
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = part if acc is None else acc + part
+        os_.append(o_h.astype(x.dtype))
+    # one head-concatenated out-projection (R,t,h·d)@(h·d,e) instead of h
+    # chained (R,t,d)@(d,e) dots — the accumulation chain serializes the MXU
+    o_all = jnp.concatenate(os_, axis=-1)
+    acc = _dot_g(
+        o_all, wout_ref[...].reshape(h * d, x.shape[-1]),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
     o_ref[...] = _ln_rows(x.astype(jnp.float32) + acc).astype(o_ref.dtype)
 
 
@@ -434,10 +434,11 @@ def _attn_bwd_kernel(
     k = proj(wk)
     v = proj(wv)
 
-    # recompute u = x + sum_h o_h · Wout[h] (needs all heads before LN bwd)
+    # recompute the per-head attention (needs all heads before LN bwd)
+    R, t, e = x.shape
+    wout2 = wout_ref[...].reshape(h * d, e)  # head-major 2D view
     ps = []
     os_ = []
-    acc = None
     for hh in range(h):
         q_h = q[..., hh * d : (hh + 1) * d]
         k_h = k[..., hh * d : (hh + 1) * d]
@@ -455,43 +456,42 @@ def _attn_bwd_kernel(
             p.astype(v_h.dtype), v_h, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, t, d)
-        part = _dot_g(
-            o_h.astype(x.dtype), wout_ref[hh], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc = part if acc is None else acc + part
         ps.append(p)
-        os_.append(o_h)
+        os_.append(o_h.astype(x.dtype))
 
-    u32 = x.astype(jnp.float32) + acc
+    # head-concatenated big dots instead of per-head accumulation chains:
+    # the chained `acc += dot(...)`/`dx += dot(...)` form serializes h (or
+    # 3h) small MXU ops; one (R,t,h·d)-wide dot keeps the MXU busy.
+    o_all = jnp.concatenate(os_, axis=-1)  # (R, t, h·d)
+    u32 = x.astype(jnp.float32) + _dot_g(
+        o_all, wout2, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     du = _ln_rows_bwd(u32, g32)  # (R, t, e) f32
     du_c = du.astype(x.dtype)
 
     # 2D views for the weight-grad contractions: Mosaic's matmul supports a
     # single contracting dim, so (R,t,·) pairs flatten to (R·t,·) first
-    R, t, e = x.shape
     x2 = x.reshape(R * t, e)
     du2 = du_c.reshape(R * t, e)
 
-    dx = du
-    i = pl.program_id(0)
+    # dWout = o_allᵀ du  and  do = du · Woutᵀ — one dot each, all heads
+    dwout_all = _dot_g(
+        o_all.reshape(R * t, h * d), du2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (h·d, e)
+    do_all = _dot_g(
+        du_c, wout2, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # (R, t, h·d)
+
+    dqs, dks, dvs = [], [], []
     for hh in range(h):
         q_h = q[..., hh * d : (hh + 1) * d]
         k_h = k[..., hh * d : (hh + 1) * d]
         v_h = v[..., hh * d : (hh + 1) * d]
         p = ps[hh]
-        o_h = os_[hh]
-        # dWout[h] = sum_{R,t} o_h^T du
-        dwout_blk = _dot_g(
-            o_h.astype(x.dtype).reshape(R * t, d), du2,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (d, e)
-        do_h = _dot_g(
-            du_c, wout_ref[hh], (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (R, t, d)
-        do_c = do_h.astype(x.dtype)
+        do_c = do_all[..., hh * d : (hh + 1) * d]
         dp = _dot_g(
             do_c, v_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -511,44 +511,50 @@ def _attn_bwd_kernel(
             p.astype(do_c.dtype), do_c, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, t_k, d)
-        dq_c = dq_h.astype(x.dtype)
-        dk_c = dk_h.astype(x.dtype)
-        dv_c = dv_h.astype(x.dtype)
-        # input grads through the projections: (R,t,d) @ (d_slice of w, e)
-        for dgrad, w in ((dq_c, wq), (dk_c, wk), (dv_c, wv)):
-            dx = dx + _dot_g(
-                dgrad, w[hh * d : (hh + 1) * d], (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        # weight grads: sum over (R, t) of outer(d-grad, x)
-        dwq_blk = _dot_g(
-            dq_c.reshape(R * t, d), x2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (d, e)
-        dwk_blk = _dot_g(
-            dk_c.reshape(R * t, d), x2, (((0,), (0,)), ((), ())),
+        dqs.append(dq_h.astype(x.dtype))
+        dks.append(dk_h.astype(x.dtype))
+        dvs.append(dv_h.astype(x.dtype))
+
+    dq_all = jnp.concatenate(dqs, axis=-1)  # (R, t, h·d)
+    dk_all = jnp.concatenate(dks, axis=-1)
+    dv_all = jnp.concatenate(dvs, axis=-1)
+
+    # input grads: three full-width (R,t,h·d)@(h·d,e) dots
+    dx = du
+    for dgrad, w in ((dq_all, wq), (dk_all, wk), (dv_all, wv)):
+        dx = dx + _dot_g(
+            dgrad, w, (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dwv_blk = _dot_g(
-            dv_c.reshape(R * t, d), x2, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # weight grads: sum over (R·t) of outer(h·d-grad, x), one dot per matrix
+    dwq_all = _dot_g(
+        dq_all.reshape(R * t, h * d), x2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (h·d, e)
+    dwk_all = _dot_g(
+        dk_all.reshape(R * t, h * d), x2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwv_all = _dot_g(
+        dv_all.reshape(R * t, h * d), x2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-        sl = pl.ds(hh * d, d)
+    i = pl.program_id(0)
 
-        @pl.when(i == 0)
-        def _init(sl=sl, a=dwq_blk, b=dwk_blk, c=dwv_blk, o=dwout_blk):
-            dwqkv_ref[0, sl, :] = a
-            dwqkv_ref[1, sl, :] = b
-            dwqkv_ref[2, sl, :] = c
-            dwout_ref[hh, :, :] = o
+    @pl.when(i == 0)
+    def _init():
+        dwqkv_ref[0] = dwq_all
+        dwqkv_ref[1] = dwk_all
+        dwqkv_ref[2] = dwv_all
+        dwout_ref[...] = dwout_all.reshape(h, d, e)
 
-        @pl.when(i != 0)
-        def _acc(sl=sl, a=dwq_blk, b=dwk_blk, c=dwv_blk, o=dwout_blk):
-            dwqkv_ref[0, sl, :] += a
-            dwqkv_ref[1, sl, :] += b
-            dwqkv_ref[2, sl, :] += c
-            dwout_ref[hh, :, :] += o
+    @pl.when(i != 0)
+    def _acc():
+        dwqkv_ref[0] += dwq_all
+        dwqkv_ref[1] += dwk_all
+        dwqkv_ref[2] += dwv_all
+        dwout_ref[...] += dwout_all.reshape(h, d, e)
 
     dx_ref[...] = dx.astype(dx_ref.dtype)
 

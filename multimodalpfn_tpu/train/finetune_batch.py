@@ -269,12 +269,22 @@ def fine_tune_batched_cells(
     )
 
     def one_step(state: TrainState, batch, rng, ex):
+        # remat only when the stacked runs' saved activations would not fit
+        # HBM: the single-run path skips remat under 4096 rows
+        # (`finetune.py`); here the budget is shared by n_runs resident runs
+        # (measured v5e 16 GB: 4x1470 rows fits remat-free at ~9 GB and steps
+        # ~35% faster; 8x1470 needs 18.3 GB -> remat).
+        ep_rows = (
+            batch["y_train"].shape[-1] + batch["y_test"].shape[-1]
+        )
+        use_remat = n_runs * ep_rows > 8000
+
         def compute_loss(p):
             logits = forward_train_test(
                 p, train_cfg,
                 batch.get("x_train"), batch["y_train"], batch.get("x_test"),
                 batch.get("image_train"), batch.get("image_test"),
-                train=True, rng=rng, remat=True,
+                train=True, rng=rng, remat=use_remat,
                 mgm_active=ex.get("mgm_active"),
                 feat_pos_noise=ex.get("feat_pos_noise"),
             )
