@@ -37,6 +37,62 @@ def _layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+_LN_EPS = 1e-5
+
+
+@jax.custom_vjp
+def _residual_ln_vjp(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    return _residual_ln_fwd(x, h)[0]
+
+
+def _residual_ln_fwd(x, h):
+    # the sum is formed in the compute dtype (identical numerics to the plain
+    # `_layer_norm(x + h)` composition), so the saved compute-dtype `u` is
+    # EXACTLY the forward's LN input — the backward's recomputed statistics
+    # are bit-identical in both f32-parity and bf16-production modes.
+    u = x + h
+    u32 = u.astype(jnp.float32)
+    mean = u32.mean(axis=-1, keepdims=True)
+    var = u32.var(axis=-1, keepdims=True)
+    out = ((u32 - mean) * jax.lax.rsqrt(var + _LN_EPS)).astype(x.dtype)
+    return out, u
+
+
+def _residual_ln_bwd(u, g):
+    u32 = u.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    mean = u32.mean(axis=-1, keepdims=True)
+    c = u32 - mean
+    var = (c * c).mean(axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + _LN_EPS)
+    n = c * r
+    du = r * (
+        g32
+        - g32.mean(axis=-1, keepdims=True)
+        - n * (g32 * n).mean(axis=-1, keepdims=True)
+    )
+    du = du.astype(u.dtype)
+    return du, du
+
+
+_residual_ln_vjp.defvjp(_residual_ln_fwd, _residual_ln_bwd)
+
+
+def residual_ln(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """``LN(x + h)`` with a compute-dtype residual save.
+
+    Plain autodiff of the composition makes XLA save the f32 pre-LN sum per
+    layer for the LN backward — at the vmapped-sweep shapes those saves were
+    the largest single HBM cost in the train step (round-3 trace: ~71 ms of
+    the 537 ms N=4 step in post-item LN + scan saves). This custom_vjp saves
+    the sum in the compute dtype (half the bytes in bf16 mode; the same bytes
+    — and bit-identical values — in f32 parity mode) and recomputes the LN
+    statistics in the backward, which is exact because the saved sum IS the
+    forward's LN input.
+    """
+    return _residual_ln_vjp(x, h.astype(x.dtype))
+
+
 def _mlp(x: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray, compute_dtype) -> jnp.ndarray:
     """Bias-free 2-layer GELU MLP (reference `mlp.py:59-104`, exact erf gelu).
 
@@ -103,7 +159,7 @@ def encoder_layer(
         )
         # residuals/LN run in fp32 (accumulated outputs); cast back to the
         # compute dtype so the scan carry dtype is stable in bf16 mode
-        state = _layer_norm(state + h).astype(cd)
+        state = residual_ln(state, h).astype(cd)
     # --- attention between items (per feature token) ---
     st = jnp.swapaxes(state, 1, 2)  # (b, t, s, e)
     h = item_attention(
@@ -117,7 +173,7 @@ def encoder_layer(
         fused_item=cfg.use_flash and cfg.fused_item,
         ring_axis=cfg.seq_shard_axis,
     )
-    state = _layer_norm(state + jnp.swapaxes(h, 1, 2)).astype(cd)
+    state = residual_ln(state, jnp.swapaxes(h, 1, 2)).astype(cd)
     # --- MLP ---
     # row-local with no mask dependence: fused whenever cfg.fused_ops, even
     # under a token_valid mask (padded token streams evolve but are never read)
@@ -128,7 +184,7 @@ def encoder_layer(
             state, layer_params["mlp"]["w1"], layer_params["mlp"]["w2"]
         )
     h = _mlp(state, layer_params["mlp"]["w1"], layer_params["mlp"]["w2"], cd)
-    return _layer_norm(state + h).astype(cd)
+    return residual_ln(state, h).astype(cd)
 
 
 def _group_features(x: jnp.ndarray, fpg: int) -> jnp.ndarray:

@@ -110,6 +110,18 @@ def _erf_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * x * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
 
 
+def _row_mask(shape, m_real: int, i, row_axis: int = 0):
+    """(block-local) validity mask for the rows axis: global row < m_real.
+
+    Tail blocks of a non-divisible grid read out-of-bounds garbage (Pallas
+    masks WRITES automatically but not reads); zeroing invalid rows on load
+    makes every kernel algebraically identical to the old zero-padded form —
+    without the jnp.pad / slice round-trips of the full activation through
+    HBM that padding cost (the measured boundary overhead, round-3 trace)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, row_axis)
+    return rows + i * shape[row_axis] < m_real
+
+
 def _mlp_kernel(x_ref, w1_ref, w2_ref, o_ref):
     x = x_ref[...]  # (R, e)
     h = _dot_g(
@@ -127,21 +139,22 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, o_ref):
 def _mlp_fwd_call(
     x: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray, block_rows: int
 ) -> jnp.ndarray:
-    """x: (..., e) any leading shape; returns LN(x + mlp(x)) in x.dtype."""
+    """x: (..., e) any leading shape; returns LN(x + mlp(x)) in x.dtype.
+
+    Rows need no masking in the forward: each row is independent, so a
+    garbage out-of-bounds tail row yields a garbage output row that the
+    masked tail-block WRITE drops."""
     lead = x.shape[:-1]
     e = x.shape[-1]
     m = 1
     for n in lead:
         m *= n
     x2 = x.reshape(m, e)
-    m_pad = _round_up(m, block_rows)
-    if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
     out = pl.pallas_call(
         _mlp_kernel,
-        out_shape=jax.ShapeDtypeStruct((m_pad, e), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, e), x.dtype),
         grid_spec=pl.GridSpec(
-            grid=(m_pad // block_rows,),
+            grid=(pl.cdiv(m, block_rows),),
             in_specs=[
                 pl.BlockSpec((block_rows, e), lambda i: (i, 0)),
                 pl.BlockSpec((e, w1.shape[1]), lambda i: (0, 0)),
@@ -151,7 +164,7 @@ def _mlp_fwd_call(
         ),
         compiler_params=_compiler_params("parallel"),
     )(x2, w1.astype(x.dtype), w2.astype(x.dtype))
-    return out[:m].reshape(*lead, e)
+    return out.reshape(*lead, e)
 
 
 # ---------------------------------------------------------------------------
@@ -173,9 +186,18 @@ def _feat_attn_kernel(
     key_mask_cols: int | None,
 ):
     """One block of R rows; x_ref (R, t, e). Attention between the t feature
-    tokens of each row, all in VMEM."""
+    tokens of each row, all in VMEM.
+
+    The block's token dim is t8 ≥ t_real: the [t_real, t8) tail is an
+    out-of-bounds read (garbage, not zeros), so it is zeroed on load — a
+    garbage v row would otherwise poison valid rows through 0·NaN in the
+    p·v contraction. Garbage tail ROWS need no mask: rows are independent
+    and the tail-block write is dropped by Pallas."""
     x = x_ref[...]  # (R, t, e)
     R, t, e = x.shape
+    if t_real < t:
+        tok = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.where(tok < t_real, x, 0).astype(x.dtype)
     wq = wqkv_ref[0]  # (h*d, e) stacked head-major
     wk = wqkv_ref[1]
     wv = wqkv_ref[2]
@@ -235,13 +257,13 @@ def _attn_fwd_call(
     m = 1
     for n in lead:
         m *= n
-    # tokens pad to a sublane multiple (Mosaic cannot merge unaligned sublane
-    # dims); padded tokens are masked out of the keys and sliced off after
+    # the BLOCK's token dim is a sublane multiple (Mosaic cannot merge
+    # unaligned sublane dims) but the ARRAY keeps its real t: the tail is an
+    # out-of-bounds block region, zeroed on load inside the kernel — no
+    # jnp.pad / slice round-trip of the activations through HBM
     t8 = _round_up(t, 8)
     mask_cols = token_valid_count if token_valid_count is not None else t
     x2 = x.reshape(m, t, e)
-    m_pad = _round_up(m, block_rows)
-    x2 = jnp.pad(x2, ((0, m_pad - m), (0, t8 - t), (0, 0)))
     # stack projections head-major on the output dim: (3, h*d, e)
     wqkv2 = w_qkv.reshape(3, h * d, e).astype(x.dtype)
     wout2 = w_out.astype(x.dtype)  # (h, d, e)
@@ -255,9 +277,9 @@ def _attn_fwd_call(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((m_pad, t8, e), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m, t, e), x.dtype),
         grid_spec=pl.GridSpec(
-            grid=(m_pad // block_rows,),
+            grid=(pl.cdiv(m, block_rows),),
             in_specs=[
                 pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
                 pl.BlockSpec((3, h * d, e), lambda i: (0, 0, 0)),
@@ -267,7 +289,7 @@ def _attn_fwd_call(
         ),
         compiler_params=_compiler_params("parallel"),
     )(x2, wqkv2, wout2)
-    return out[:m, :t].reshape(*lead, t, e)
+    return out.reshape(*lead, t, e)
 
 
 # ---------------------------------------------------------------------------
@@ -303,9 +325,18 @@ def _ln_rows_bwd(u32: jnp.ndarray, g32: jnp.ndarray, eps: float = 1e-5):
     return r * (g32 - g_mean - n * gn_mean)
 
 
-def _mlp_bwd_kernel(x_ref, g_ref, w1_ref, w2_ref, dx_ref, dw1_ref, dw2_ref):
+def _mlp_bwd_kernel(
+    x_ref, g_ref, w1_ref, w2_ref, dx_ref, dw1_ref, dw2_ref, *, m_real: int
+):
+    # zero out-of-bounds tail rows on load: the dw contractions sum over rows,
+    # so garbage OOB reads must vanish algebraically (as zero-padding did)
     x = x_ref[...]  # (R, e) compute dtype
-    g32 = g_ref[...].astype(jnp.float32)
+    g = g_ref[...]
+    if m_real % x.shape[0] != 0:
+        valid = _row_mask(x.shape, m_real, pl.program_id(0))
+        x = jnp.where(valid, x, 0).astype(x.dtype)
+        g = jnp.where(valid, g, 0).astype(g.dtype)
+    g32 = g.astype(jnp.float32)
     w1 = w1_ref[...]
     w2 = w2_ref[...]
     # recompute forward intermediates in VMEM
@@ -357,19 +388,15 @@ def _mlp_bwd_call(x, w1, w2, g, block_rows: int):
         m *= n
     x2 = x.reshape(m, e)
     g2 = g.reshape(m, e)
-    m_pad = _round_up(m, block_rows)
-    if m_pad != m:
-        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-        g2 = jnp.pad(g2, ((0, m_pad - m), (0, 0)))
     dx, dw1, dw2 = pl.pallas_call(
-        _mlp_bwd_kernel,
+        functools.partial(_mlp_bwd_kernel, m_real=m),
         out_shape=(
-            jax.ShapeDtypeStruct((m_pad, e), x.dtype),
+            jax.ShapeDtypeStruct((m, e), x.dtype),
             jax.ShapeDtypeStruct((e, H), jnp.float32),
             jax.ShapeDtypeStruct((H, e), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
-            grid=(m_pad // block_rows,),
+            grid=(pl.cdiv(m, block_rows),),
             in_specs=[
                 pl.BlockSpec((block_rows, e), lambda i: (i, 0)),
                 pl.BlockSpec((block_rows, e), lambda i: (i, 0)),
@@ -385,7 +412,7 @@ def _mlp_bwd_call(x, w1, w2, g, block_rows: int):
         # sequential grid: dw accumulates across blocks
         compiler_params=_compiler_params("arbitrary"),
     )(x2, g2, w1.astype(x.dtype), w2.astype(x.dtype))
-    return dx[:m].reshape(x.shape), dw1.astype(w1.dtype), dw2.astype(w2.dtype)
+    return dx.reshape(x.shape), dw1.astype(w1.dtype), dw2.astype(w2.dtype)
 
 
 _MLP_BLOCK_ROWS = 512
@@ -418,9 +445,25 @@ def fused_mlp_ln(
 def _attn_bwd_kernel(
     x_ref, g_ref, wqkv_ref, wout_ref, dx_ref, dwqkv_ref, dwout_ref,
     *, h: int, d: int, sm_scale: float, key_mask_cols: int,
+    m_real: int, t_real: int,
 ):
+    # zero out-of-bounds tail rows AND tokens on load: the dw contractions
+    # sum over (rows·tokens), so garbage OOB reads must vanish algebraically
+    # exactly as the old zero-padding did
     x = x_ref[...]  # (R, t, e)
-    g32 = g_ref[...].astype(jnp.float32)
+    g = g_ref[...]
+    needs_row = m_real % x.shape[0] != 0
+    needs_tok = t_real < x.shape[1]
+    if needs_row or needs_tok:
+        valid = jnp.ones(x.shape, jnp.bool_)
+        if needs_row:
+            valid &= _row_mask(x.shape, m_real, pl.program_id(0))
+        if needs_tok:
+            tok = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            valid &= tok < t_real
+        x = jnp.where(valid, x, 0).astype(x.dtype)
+        g = jnp.where(valid, g, 0).astype(g.dtype)
+    g32 = g.astype(jnp.float32)
     wq = wqkv_ref[0]  # (h*d, e)
     wk = wqkv_ref[1]
     wv = wqkv_ref[2]
@@ -569,24 +612,21 @@ def _attn_bwd_call(x, w_qkv, w_out, g, block_rows: int):
     t8 = _round_up(t, 8)
     x2 = x.reshape(m, t, e)
     g2 = g.reshape(m, t, e)
-    m_pad = _round_up(m, block_rows)
-    x2 = jnp.pad(x2, ((0, m_pad - m), (0, t8 - t), (0, 0)))
-    g2 = jnp.pad(g2, ((0, m_pad - m), (0, t8 - t), (0, 0)))
     wqkv2 = w_qkv.reshape(3, h * d, e).astype(x.dtype)
     wout2 = w_out.astype(x.dtype)
     kernel = functools.partial(
         _attn_bwd_kernel, h=h, d=d, sm_scale=1.0 / math.sqrt(d),
-        key_mask_cols=t,
+        key_mask_cols=t, m_real=m, t_real=t,
     )
     dx, dwqkv, dwout = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((m_pad, t8, e), x.dtype),
+            jax.ShapeDtypeStruct((m, t, e), x.dtype),
             jax.ShapeDtypeStruct((3, h * d, e), jnp.float32),
             jax.ShapeDtypeStruct((h, d, e), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
-            grid=(m_pad // block_rows,),
+            grid=(pl.cdiv(m, block_rows),),
             in_specs=[
                 pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
                 pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
@@ -602,7 +642,7 @@ def _attn_bwd_call(x, w_qkv, w_out, g, block_rows: int):
         # sequential grid: dw accumulates across blocks
         compiler_params=_compiler_params("arbitrary"),
     )(x2, g2, wqkv2, wout2)
-    dx = dx[:m, :t].reshape(x.shape)
+    dx = dx.reshape(x.shape)
     return dx, dwqkv.reshape(w_qkv.shape).astype(w_qkv.dtype), dwout.astype(w_out.dtype)
 
 
