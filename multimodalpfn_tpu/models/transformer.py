@@ -115,6 +115,51 @@ def _mlp(x: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray, compute_dtype) -> jnp
     )
 
 
+def encoder_layer_im(
+    state: jnp.ndarray,
+    layer_params: dict,
+    *,
+    single_eval_pos: int,
+    cfg: ModelConfig,
+) -> jnp.ndarray:
+    """Item-major PerFeatureEncoderLayer: state ``(b, t, s, e)``.
+
+    Same math as `encoder_layer` but with the items axis outermost, which is
+    the layout every item-attention path consumes — so the FLOPs-dominant
+    sublayer runs with ZERO boundary transposes. The feature-attention kernel
+    reads item-major blocks and relayouts in VMEM
+    (`ops.pallas_fused.fused_feature_attention_ln_im`); the MLP and the
+    residual-LN are layout-agnostic. `_forward_impl` transposes ONCE before
+    the 12-layer scan and never again (round-3 trace: the per-layer
+    (b,s,t,e)<->(b,t,s,e) HBM copy pair was ~7% of the sweep train step).
+    Fused-path only (cfg.fused_ops, no token_valid mask).
+    """
+    cd = jnp.dtype(cfg.compute_dtype)
+    from multimodalpfn_tpu.ops.pallas_fused import (
+        fused_feature_attention_ln_im,
+        fused_mlp_ln,
+    )
+
+    state = fused_feature_attention_ln_im(
+        state.astype(cd),
+        layer_params["attn_feat"]["w_qkv"],
+        layer_params["attn_feat"]["w_out"],
+    )
+    h = item_attention(
+        state,
+        layer_params["attn_item"]["w_qkv"],
+        layer_params["attn_item"]["w_out"],
+        single_eval_pos=single_eval_pos,
+        multiquery_test=cfg.multiquery_item_attention_for_test_set,
+        compute_dtype=cd,
+        use_flash=cfg.use_flash,
+        fused_item=cfg.use_flash and cfg.fused_item,
+        ring_axis=cfg.seq_shard_axis,
+    )
+    state = residual_ln(state, h).astype(cd)
+    return fused_mlp_ln(state, layer_params["mlp"]["w1"], layer_params["mlp"]["w2"])
+
+
 def encoder_layer(
     state: jnp.ndarray,
     layer_params: dict,
@@ -343,9 +388,23 @@ def _forward_impl(
         token_valid = (idx < f_tab) | (idx - f_tab < active_img) | (idx == t_total - 1)
 
     # ---- encoder stack under scan (stacked layer params)
-    layer_fn = partial(
-        encoder_layer, single_eval_pos=sep, cfg=cfg, token_valid=token_valid
+    # item-major canonical layout whenever the fully-fused sublayers apply:
+    # ONE transpose before the stack instead of a (b,s,t,e)<->(b,t,s,e) HBM
+    # copy pair per layer (see encoder_layer_im)
+    from multimodalpfn_tpu.ops.pallas_fused import MAX_FUSED_ATTN_TOKENS
+
+    item_major = (
+        cfg.fused_ops
+        and token_valid is None
+        and state.shape[2] <= MAX_FUSED_ATTN_TOKENS
     )
+    if item_major:
+        state = jnp.swapaxes(state, 1, 2)  # (b, t, s, e)
+        layer_fn = partial(encoder_layer_im, single_eval_pos=sep, cfg=cfg)
+    else:
+        layer_fn = partial(
+            encoder_layer, single_eval_pos=sep, cfg=cfg, token_valid=token_valid
+        )
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
@@ -355,15 +414,23 @@ def _forward_impl(
     state, _ = jax.lax.scan(body, state, params["layers"])
 
     # ---- decode target tokens of test rows (transformer.py:849-864)
-    test_targets = state[:, sep:, -1, :].astype(jnp.float32)
+    # (the decoder reads only the target-token stream, so the item-major
+    # path never transposes back — it slices token -1 directly)
+    if item_major:
+        test_targets = state[:, -1, sep:, :].astype(jnp.float32)
+    else:
+        test_targets = state[:, sep:, -1, :].astype(jnp.float32)
     dec = params["decoder"]
     hidden = jax.nn.gelu(test_targets @ dec["w1"] + dec["b1"], approximate=False)
     logits = hidden @ dec["w2"] + dec["b2"]
 
     if return_embeddings:
+        train_emb = (
+            state[:, -1, :sep, :] if item_major else state[:, :sep, -1, :]
+        )
         return {
             "standard": logits,
-            "train_embeddings": state[:, :sep, -1, :].astype(jnp.float32),
+            "train_embeddings": train_emb.astype(jnp.float32),
             "test_embeddings": test_targets,
         }
     return logits

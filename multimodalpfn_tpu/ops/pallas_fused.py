@@ -194,6 +194,39 @@ def _feat_attn_kernel(
     p·v contraction. Garbage tail ROWS need no mask: rows are independent
     and the tail-block write is dropped by Pallas."""
     x = x_ref[...]  # (R, t, e)
+    o_ref[...] = _feat_attn_fwd_core(
+        x, wqkv_ref, wout_ref, h=h, d=d, t_real=t_real, sm_scale=sm_scale,
+        key_mask_cols=key_mask_cols,
+    ).astype(o_ref.dtype)
+
+
+def _feat_attn_kernel_im(
+    x_ref,
+    wqkv_ref,
+    wout_ref,
+    o_ref,
+    *,
+    h: int,
+    d: int,
+    t_real: int,
+    sm_scale: float,
+    key_mask_cols: int | None,
+):
+    """Item-major block: x_ref (1, t8, R, e) from a (b, t, s, e) array. One
+    in-VMEM relayout to the row-major (R, t8, e) form on load and one back on
+    store — replacing the per-layer (b,s,t,e)<->(b,t,s,e) HBM transpose pair
+    the sample-major canonical layout cost."""
+    x = jnp.swapaxes(x_ref[0], 0, 1)  # (t8, R, e) -> (R, t8, e)
+    out = _feat_attn_fwd_core(
+        x, wqkv_ref, wout_ref, h=h, d=d, t_real=t_real, sm_scale=sm_scale,
+        key_mask_cols=key_mask_cols,
+    )
+    o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
+
+
+def _feat_attn_fwd_core(
+    x, wqkv_ref, wout_ref, *, h, d, t_real, sm_scale, key_mask_cols
+):
     R, t, e = x.shape
     if t_real < t:
         tok = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -239,7 +272,7 @@ def _feat_attn_kernel(
         o_all, wout_ref[...].reshape(h * d, x.shape[-1]),
         (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    o_ref[...] = _ln_rows(x.astype(jnp.float32) + acc).astype(o_ref.dtype)
+    return _ln_rows(x.astype(jnp.float32) + acc)
 
 
 def _attn_fwd_call(
@@ -290,6 +323,49 @@ def _attn_fwd_call(
         compiler_params=_compiler_params("parallel"),
     )(x2, wqkv2, wout2)
     return out.reshape(*lead, t, e)
+
+
+def _attn_fwd_call_im(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    token_valid_count: int | None,
+    block_rows: int,
+) -> jnp.ndarray:
+    """Item-major variant: x (b, t, s, e) — the canonical layout of the fused
+    training path, where the item-attention sublayer is transpose-free. Blocks
+    a (t8, R, e) slab per grid cell and relayouts in VMEM (see
+    `_feat_attn_kernel_im`)."""
+    b, t, s, e = x.shape
+    _, h, d, _ = w_qkv.shape
+    t8 = _round_up(t, 8)
+    mask_cols = token_valid_count if token_valid_count is not None else t
+    wqkv2 = w_qkv.reshape(3, h * d, e).astype(x.dtype)
+    wout2 = w_out.astype(x.dtype)
+    kernel = functools.partial(
+        _feat_attn_kernel_im,
+        h=h,
+        d=d,
+        t_real=t,
+        sm_scale=1.0 / math.sqrt(d),
+        key_mask_cols=mask_cols,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, s, e), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(b, pl.cdiv(s, block_rows)),
+            in_specs=[
+                pl.BlockSpec((1, t8, block_rows, e), lambda bi, si: (bi, 0, si, 0)),
+                pl.BlockSpec((3, h * d, e), lambda bi, si: (0, 0, 0)),
+                pl.BlockSpec((h, d, e), lambda bi, si: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, t8, block_rows, e), lambda bi, si: (bi, 0, si, 0)
+            ),
+        ),
+        compiler_params=_compiler_params("parallel", "parallel"),
+    )(x, wqkv2, wout2)
 
 
 # ---------------------------------------------------------------------------
@@ -442,27 +518,94 @@ def fused_mlp_ln(
     return _fused_mlp_ln_vjp(x, w1, w2, block_rows)
 
 
-def _attn_bwd_kernel(
-    x_ref, g_ref, wqkv_ref, wout_ref, dx_ref, dwqkv_ref, dwout_ref,
-    *, h: int, d: int, sm_scale: float, key_mask_cols: int,
-    m_real: int, t_real: int,
-):
-    # zero out-of-bounds tail rows AND tokens on load: the dw contractions
-    # sum over (rows·tokens), so garbage OOB reads must vanish algebraically
-    # exactly as the old zero-padding did
-    x = x_ref[...]  # (R, t, e)
-    g = g_ref[...]
+def _zero_oob(x, g, *, m_real, t_real, block_idx):
+    """Zero out-of-bounds tail rows AND tokens of an (R, t, e) block on load:
+    the dw contractions sum over (rows·tokens), so garbage OOB reads must
+    vanish algebraically exactly as the old zero-padding did."""
     needs_row = m_real % x.shape[0] != 0
     needs_tok = t_real < x.shape[1]
     if needs_row or needs_tok:
         valid = jnp.ones(x.shape, jnp.bool_)
         if needs_row:
-            valid &= _row_mask(x.shape, m_real, pl.program_id(0))
+            valid &= _row_mask(x.shape, m_real, block_idx)
         if needs_tok:
             tok = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
             valid &= tok < t_real
         x = jnp.where(valid, x, 0).astype(x.dtype)
         g = jnp.where(valid, g, 0).astype(g.dtype)
+    return x, g
+
+
+def _attn_bwd_kernel(
+    x_ref, g_ref, wqkv_ref, wout_ref, dx_ref, dwqkv_ref, dwout_ref,
+    *, h: int, d: int, sm_scale: float, key_mask_cols: int,
+    m_real: int, t_real: int,
+):
+    x, g = _zero_oob(
+        x_ref[...], g_ref[...], m_real=m_real, t_real=t_real,
+        block_idx=pl.program_id(0),
+    )
+    dx, dwq_all, dwk_all, dwv_all, dwout_all = _feat_attn_bwd_core(
+        x, g, wqkv_ref, wout_ref, h=h, d=d, sm_scale=sm_scale,
+        key_mask_cols=key_mask_cols,
+    )
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dwqkv_ref[0] = dwq_all
+        dwqkv_ref[1] = dwk_all
+        dwqkv_ref[2] = dwv_all
+        dwout_ref[...] = dwout_all.reshape(h, d, x.shape[-1])
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dwqkv_ref[0] += dwq_all
+        dwqkv_ref[1] += dwk_all
+        dwqkv_ref[2] += dwv_all
+        dwout_ref[...] += dwout_all.reshape(h, d, x.shape[-1])
+
+
+def _attn_bwd_kernel_im(
+    x_ref, g_ref, wqkv_ref, wout_ref, dx_ref, dwqkv_ref, dwout_ref,
+    *, h: int, d: int, sm_scale: float, key_mask_cols: int,
+    m_real: int, t_real: int,
+):
+    """Item-major block: x_ref/g_ref/dx_ref (1, t8, R, e) from (b, t, s, e)
+    arrays; relayout in VMEM (see `_feat_attn_kernel_im`). The weight grads
+    accumulate across the full 2D (b, s-blocks) sequential grid."""
+    x = jnp.swapaxes(x_ref[0], 0, 1)
+    g = jnp.swapaxes(g_ref[0], 0, 1)
+    x, g = _zero_oob(
+        x, g, m_real=m_real, t_real=t_real, block_idx=pl.program_id(1)
+    )
+    dx, dwq_all, dwk_all, dwv_all, dwout_all = _feat_attn_bwd_core(
+        x, g, wqkv_ref, wout_ref, h=h, d=d, sm_scale=sm_scale,
+        key_mask_cols=key_mask_cols,
+    )
+    dx_ref[0] = jnp.swapaxes(dx, 0, 1).astype(dx_ref.dtype)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dwqkv_ref[0] = dwq_all
+        dwqkv_ref[1] = dwk_all
+        dwqkv_ref[2] = dwv_all
+        dwout_ref[...] = dwout_all.reshape(h, d, x.shape[-1])
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dwqkv_ref[0] += dwq_all
+        dwqkv_ref[1] += dwk_all
+        dwqkv_ref[2] += dwv_all
+        dwout_ref[...] += dwout_all.reshape(h, d, x.shape[-1])
+
+
+def _feat_attn_bwd_core(
+    x, g, wqkv_ref, wout_ref, *, h: int, d: int, sm_scale: float,
+    key_mask_cols: int,
+):
     g32 = g.astype(jnp.float32)
     wq = wqkv_ref[0]  # (h*d, e)
     wk = wqkv_ref[1]
@@ -582,24 +725,7 @@ def _attn_bwd_kernel(
         dv_all.reshape(R * t, h * d), x2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        dwqkv_ref[0] = dwq_all
-        dwqkv_ref[1] = dwk_all
-        dwqkv_ref[2] = dwv_all
-        dwout_ref[...] = dwout_all.reshape(h, d, e)
-
-    @pl.when(i != 0)
-    def _acc():
-        dwqkv_ref[0] += dwq_all
-        dwqkv_ref[1] += dwk_all
-        dwqkv_ref[2] += dwv_all
-        dwout_ref[...] += dwout_all.reshape(h, d, e)
-
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+    return dx, dwq_all, dwk_all, dwv_all, dwout_all
 
 
 def _attn_bwd_call(x, w_qkv, w_out, g, block_rows: int):
@@ -646,6 +772,49 @@ def _attn_bwd_call(x, w_qkv, w_out, g, block_rows: int):
     return dx, dwqkv.reshape(w_qkv.shape).astype(w_qkv.dtype), dwout.astype(w_out.dtype)
 
 
+def _attn_bwd_call_im(x, w_qkv, w_out, g, block_rows: int):
+    """Item-major backward: x/g (b, t, s, e)."""
+    b, t, s, e = x.shape
+    _, h, d, _ = w_qkv.shape
+    t8 = _round_up(t, 8)
+    wqkv2 = w_qkv.reshape(3, h * d, e).astype(x.dtype)
+    wout2 = w_out.astype(x.dtype)
+    kernel = functools.partial(
+        _attn_bwd_kernel_im, h=h, d=d, sm_scale=1.0 / math.sqrt(d),
+        key_mask_cols=t, m_real=s, t_real=t,
+    )
+    blk = pl.BlockSpec((1, t8, block_rows, e), lambda bi, si: (bi, 0, si, 0))
+    dx, dwqkv, dwout = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, s, e), x.dtype),
+            jax.ShapeDtypeStruct((3, h * d, e), jnp.float32),
+            jax.ShapeDtypeStruct((h, d, e), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(b, pl.cdiv(s, block_rows)),
+            in_specs=[
+                blk,
+                blk,
+                pl.BlockSpec((3, h * d, e), lambda bi, si: (0, 0, 0)),
+                pl.BlockSpec((h, d, e), lambda bi, si: (0, 0, 0)),
+            ],
+            out_specs=(
+                blk,
+                pl.BlockSpec((3, h * d, e), lambda bi, si: (0, 0, 0)),
+                pl.BlockSpec((h, d, e), lambda bi, si: (0, 0, 0)),
+            ),
+        ),
+        # sequential grid: dw accumulates across blocks
+        compiler_params=_compiler_params("arbitrary", "arbitrary"),
+    )(x, g, wqkv2, wout2)
+    return (
+        dx,
+        dwqkv.reshape(w_qkv.shape).astype(w_qkv.dtype),
+        dwout.astype(w_out.dtype),
+    )
+
+
 _ATTN_BLOCK_ROWS = 32
 
 
@@ -671,6 +840,42 @@ def _fused_attn_ln_bwd(block_rows, res, g):
 
 
 _fused_attn_ln_vjp.defvjp(_fused_attn_ln_fwd, _fused_attn_ln_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attn_ln_im_vjp(x, w_qkv, w_out, block_rows):
+    return _attn_fwd_call_im(x, w_qkv, w_out, None, block_rows)
+
+
+def _fused_attn_ln_im_fwd(x, w_qkv, w_out, block_rows):
+    return (
+        _attn_fwd_call_im(x, w_qkv, w_out, None, block_rows),
+        (x, w_qkv, w_out),
+    )
+
+
+def _fused_attn_ln_im_bwd(block_rows, res, g):
+    x, w_qkv, w_out = res
+    return _attn_bwd_call_im(
+        x, w_qkv, w_out, g, min(block_rows, _ATTN_BWD_BLOCK_ROWS)
+    )
+
+
+_fused_attn_ln_im_vjp.defvjp(_fused_attn_ln_im_fwd, _fused_attn_ln_im_bwd)
+
+
+def fused_feature_attention_ln_im(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    *,
+    block_rows: int = _ATTN_BLOCK_ROWS,
+) -> jnp.ndarray:
+    """Item-major `fused_feature_attention_ln`: x (b, t, s, e), attention over
+    the t axis per (b, s) row. Used by the item-major encoder-layer path
+    (`models/transformer.py::encoder_layer`) whose canonical activation layout
+    keeps the item-attention sublayer — the FLOPs majority — transpose-free."""
+    return _fused_attn_ln_im_vjp(x, w_qkv, w_out, block_rows)
 
 
 def fused_feature_attention_ln(

@@ -214,3 +214,86 @@ def test_vmapped_fused_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=2e-5, atol=1e-5
         )
+
+
+def test_item_major_feature_attention_matches_sample_major():
+    """fused_feature_attention_ln_im on (b, t, s, e) == the sample-major
+    kernel on the swapaxed input — values AND grads (incl. the 2D-grid dw
+    accumulation), plus a vmapped run axis (batched-cells training)."""
+    from multimodalpfn_tpu.ops.pallas_fused import (
+        fused_feature_attention_ln,
+        fused_feature_attention_ln_im,
+    )
+
+    rng = np.random.default_rng(3)
+    b, s, t, e, h, d = 2, 21, 13, 32, 4, 8  # odd s/t: tail-block + t8 masking
+    x_sm = jnp.asarray(rng.normal(size=(b, s, t, e)), jnp.float32)
+    w_qkv = jnp.asarray(rng.normal(size=(3, h, d, e)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.normal(size=(h, d, e)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, s, t, e)), jnp.float32)
+    x_im = jnp.swapaxes(x_sm, 1, 2)
+    g_im = jnp.swapaxes(g, 1, 2)
+
+    def loss_sm(x, wqkv, wout):
+        return jnp.sum(fused_feature_attention_ln(x, wqkv, wout, block_rows=16) * g)
+
+    def loss_im(x, wqkv, wout):
+        return jnp.sum(
+            fused_feature_attention_ln_im(x, wqkv, wout, block_rows=16) * g_im
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        o_sm = fused_feature_attention_ln(x_sm, w_qkv, w_out, block_rows=16)
+        o_im = fused_feature_attention_ln_im(x_im, w_qkv, w_out, block_rows=16)
+        l_sm, g_sm = jax.value_and_grad(loss_sm, argnums=(0, 1, 2))(
+            x_sm, w_qkv, w_out
+        )
+        l_im, gi = jax.value_and_grad(loss_im, argnums=(0, 1, 2))(
+            x_im, w_qkv, w_out
+        )
+    np.testing.assert_allclose(
+        np.asarray(o_im), np.asarray(jnp.swapaxes(o_sm, 1, 2)), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(l_im), float(l_sm), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gi[0]), np.asarray(jnp.swapaxes(g_sm[0], 1, 2)),
+        rtol=1e-4, atol=1e-5,
+    )
+    for a, b_ in zip(gi[1:], g_sm[1:]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5
+        )
+
+    # vmapped over a run axis (as fine_tune_batched vmaps the train step)
+    G = 3
+    xg = jnp.asarray(rng.normal(size=(G, b, t, s, e)), jnp.float32)
+    wqkvg = jnp.asarray(rng.normal(size=(G, 3, h, d, e)) * 0.1, jnp.float32)
+    woutg = jnp.asarray(rng.normal(size=(G, h, d, e)) * 0.1, jnp.float32)
+
+    def loss_one(x, wqkv, wout):
+        return jnp.sum(
+            fused_feature_attention_ln_im(x, wqkv, wout, block_rows=16) * g_im
+        )
+
+    def loss_one_ref(x, wqkv, wout):
+        x_s = jnp.swapaxes(x, 1, 2)
+        return jnp.sum(
+            fused_feature_attention_ln(x_s, wqkv, wout, block_rows=16)
+            * jnp.swapaxes(g_im, 1, 2)
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        lv, gv = jax.vmap(jax.value_and_grad(loss_one, argnums=(0, 1, 2)))(
+            xg, wqkvg, woutg
+        )
+        lr, gr = jax.vmap(jax.value_and_grad(loss_one_ref, argnums=(0, 1, 2)))(
+            xg, wqkvg, woutg
+        )
+    np.testing.assert_allclose(np.asarray(lv), np.asarray(lr), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gv[0]), np.asarray(gr[0]), rtol=1e-4, atol=1e-5
+    )
+    for a, b_ in zip(gv[1:], gr[1:]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5
+        )
