@@ -415,6 +415,14 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         extra["sweep_error"] = repr(e)[:200]
     try:
+        # second operating point: 8 runs resident (fits HBM without remat
+        # since the compute-dtype residual-LN saves halved the per-layer
+        # activation footprint); keep the n=4 numbers as the headline keys
+        m8 = sweep_metrics(n_runs=8)
+        extra.update({f"{k}_n8": v for k, v in m8.items() if k != "sweep_runs"})
+    except Exception as e:  # pragma: no cover - OOM-guarded
+        extra["sweep8_error"] = repr(e)[:200]
+    try:
         extra.update(serving_metrics(X, emb, y))
     except Exception as e:  # pragma: no cover
         extra["serving_error"] = repr(e)[:200]
