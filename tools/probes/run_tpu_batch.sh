@@ -9,4 +9,9 @@ echo "=== sweep N=8 no-remat (HBM fit check after save reductions)"
 timeout 2400 python tools/probes/probe_sweep_direct.py 8
 echo "=== finetune program compile breakdown"
 timeout 2400 python tools/probes/probe_ft_compile.py
+echo "=== persistent compile cache: cold write process"
+rm -rf /tmp/mmpfn_cache
+MMPFN_JAX_CACHE_DIR=/tmp/mmpfn_cache timeout 2400 python tools/probes/probe_ft_compile.py fused
+echo "=== persistent compile cache: warm second process"
+MMPFN_JAX_CACHE_DIR=/tmp/mmpfn_cache timeout 2400 python tools/probes/probe_ft_compile.py fused
 echo "=== batch done"
