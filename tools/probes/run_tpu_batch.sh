@@ -14,4 +14,6 @@ rm -rf /tmp/mmpfn_cache
 MMPFN_JAX_CACHE_DIR=/tmp/mmpfn_cache timeout 2400 python tools/probes/probe_ft_compile.py fused
 echo "=== persistent compile cache: warm second process"
 MMPFN_JAX_CACHE_DIR=/tmp/mmpfn_cache timeout 2400 python tools/probes/probe_ft_compile.py fused
+echo "=== full bench refresh"
+timeout 5400 python bench.py | tee /tmp/bench_r3.json
 echo "=== batch done"
