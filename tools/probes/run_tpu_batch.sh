@@ -7,6 +7,8 @@ echo "=== sweep N=4 (item-major + residual_ln + padless kernels)"
 timeout 2400 python tools/probes/probe_sweep_direct.py 4
 echo "=== sweep N=8 no-remat (HBM fit check after save reductions)"
 timeout 2400 python tools/probes/probe_sweep_direct.py 8
+echo "=== sweep N=16 (residency scaling; may OOM — failure is data)"
+timeout 2400 python tools/probes/probe_sweep_direct.py 16 || true
 echo "=== sweep N=4 device trace (op-level attribution)"
 timeout 2400 python tools/probes/probe_sweep_trace.py 4
 echo "=== finetune program compile breakdown"
