@@ -184,6 +184,17 @@ def _fwd_kernel(
     lse_ref[0] = m + jnp.log(l)
 
 
+def _out_vma(*xs):
+    """Union of the inputs' varying-mesh-axes types. Under shard_map with
+    check_vma=True, pallas_call outputs must declare their vma explicitly
+    (jax.ShapeDtypeStruct(vma=...)); outside shard_map this is empty and the
+    kwarg is omitted."""
+    vma = frozenset().union(
+        *(getattr(jax.typeof(x), "vma", frozenset()) or frozenset() for x in xs)
+    )
+    return {"vma": vma} if vma else {}
+
+
 def _fwd_impl(q3, k3, v3, *, sm_scale, block_q, block_kv):
     """q3: (G, d, Sq); k3/v3: (G, d, Skv). Returns (o (G,d,Sq) f32, lse (G,1,Sq))."""
     G, d, Sq = q3.shape
@@ -209,8 +220,8 @@ def _fwd_impl(q3, k3, v3, *, sm_scale, block_q, block_kv):
     o, lse = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((G, d, sq_pad), jnp.float32),
-            jax.ShapeDtypeStruct((G, 1, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((G, d, sq_pad), jnp.float32, **_out_vma(qp, kp, vp)),
+            jax.ShapeDtypeStruct((G, 1, sq_pad), jnp.float32, **_out_vma(qp, kp, vp)),
         ),
         grid_spec=pl.GridSpec(
             grid=(G, n_q_blocks),
@@ -339,9 +350,15 @@ def _bwd_impl(q3, k3, v3, o3, lse, do3, *, sm_scale, block_kv):
             n_chunks=sq_pad // chunk_q,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((G, d, sq_pad), jnp.float32),
-            jax.ShapeDtypeStruct((G, d, skv_pad), k3.dtype),
-            jax.ShapeDtypeStruct((G, d, skv_pad), v3.dtype),
+            jax.ShapeDtypeStruct(
+                (G, d, sq_pad), jnp.float32, **_out_vma(q3, k3, v3, o3, do3)
+            ),
+            jax.ShapeDtypeStruct(
+                (G, d, skv_pad), k3.dtype, **_out_vma(q3, k3, v3, o3, do3)
+            ),
+            jax.ShapeDtypeStruct(
+                (G, d, skv_pad), v3.dtype, **_out_vma(q3, k3, v3, o3, do3)
+            ),
         ),
         grid_spec=pl.GridSpec(
             grid=(G, skv_pad // block_kv_g),

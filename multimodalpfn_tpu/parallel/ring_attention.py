@@ -21,7 +21,11 @@ Design:
     visiting KV shard — O(S) per chip, defeating the point): dq accumulates
     locally from the saved lse/delta while each (k, v, dk, dv) quadruple
     rotates the full circle and arrives home with its complete gradient. Peak
-    per-chip memory stays O(S/n) in KV terms.
+    per-chip memory stays O(S/n) in KV terms. Each step's block backward uses
+    the GLOBAL (o, lse) saved by the forward, so with ``use_flash`` it streams
+    through the Pallas merged backward (`pallas_attention._bwd_impl`) — score
+    memory O(Sq·block), same as the forward — falling back to the dense XLA
+    block only for shards under ``MIN_FLASH_SHARD``.
   * Replicated-query variant: every device accumulates the COMPLETE dq and
     computes the complete dk/dv of whichever shard is visiting (overwrite,
     not accumulate); the invariant re-typing for the replicated output/dq
@@ -92,12 +96,72 @@ def _block_o_lse(q, k, v, scale, use_flash):
     return o, m + jnp.log(l)
 
 
+def _block_bwd(q, k_cur, v_cur, o, lse, g, delta, scale, use_flash):
+    """One ring step's backward block using the GLOBAL (o, lse) statistics:
+    ``p = exp(s·scale − lse)`` already carries the full-softmax normalization,
+    so each visiting shard's (dq, dk, dv) contribution is exact in isolation.
+
+    q/k_cur/v_cur: (B,h,S*,d); o (B,h,Sq,d) f32; lse/delta (B,h,Sq) f32;
+    g (B,h,Sq,d) f32. Returns (dq_blk, dk_blk, dv_blk) f32 — the local
+    queries' contribution for the visiting shard. Long shards stream through
+    the Pallas merged backward (score memory O(block), matching the module's
+    O(shard·block) claim); short shards use the dense XLA block.
+    """
+    B, h, Sq, d = q.shape
+    Skv = k_cur.shape[2]
+    cd = q.dtype
+    if use_flash and Skv >= MIN_FLASH_SHARD:
+        from multimodalpfn_tpu.ops.pallas_attention import _bwd_impl
+
+        def t3(x, s):
+            return jnp.swapaxes(x, 2, 3).reshape(B * h, d, s)
+
+        dq3, dk3, dv3 = _bwd_impl(
+            t3(q, Sq), t3(k_cur, Skv), t3(v_cur, Skv),
+            t3(o, Sq), lse.reshape(B * h, 1, Sq), t3(g.astype(cd), Sq),
+            sm_scale=scale, block_kv=512,
+        )
+
+        def t4(x3, s):
+            return jnp.swapaxes(x3.reshape(B, h, d, s), 2, 3).astype(jnp.float32)
+
+        return t4(dq3, Sq), t4(dk3, Skv), t4(dv3, Skv)
+    s = (
+        jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(cd), k_cur,
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    p = jnp.exp(s - lse[..., None])  # (B,h,Sq,Skv_shard)
+    dv_blk = jnp.einsum(
+        "bhqk,bhqd->bhkd", p.astype(cd), g.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jnp.einsum(
+        "bhqd,bhkd->bhqk", g.astype(cd), v_cur,
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta[..., None]) * scale).astype(cd)
+    dq_blk = jnp.einsum(
+        "bhqk,bhkd->bhqd", ds, k_cur, preferred_element_type=jnp.float32
+    )
+    dk_blk = jnp.einsum(
+        "bhqk,bhqd->bhkd", ds, q.astype(cd),
+        preferred_element_type=jnp.float32,
+    )
+    return dq_blk, dk_blk, dv_blk
+
+
 def _rot(x, axis, n):
     perm = [(j, (j + 1) % n) for j in range(n)]
     return jax.lax.ppermute(x, axis, perm)
 
 
 def _vary(x, axis):
+    """Re-type as varying over ``axis`` (idempotent; numerically identity)."""
+    if axis in (getattr(jax.typeof(x), "vma", frozenset()) or frozenset()):
+        return x
     return jax.lax.pcast(x, axis, to="varying")
 
 
@@ -115,6 +179,9 @@ def _ring_core(q_loc, k_loc, v_loc, axis, n, scale, use_flash, q_replicated):
 
 def _ring_fwd_impl(q_loc, k_loc, v_loc, axis, n, scale, use_flash):
     B, h, Sq, d = q_loc.shape
+    # replicated q is re-typed varying so every operand of the per-shard
+    # (Pallas) block shares one vma type; numerically the identity
+    q_loc = _vary(q_loc, axis)
 
     def step(i, carry):
         k_cur, v_cur, o, lse = carry
@@ -145,34 +212,17 @@ def _ring_core_bwd(axis, n, scale, use_flash, q_replicated, res, g):
     q_loc, k_loc, v_loc, o, lse = res
     g = g.astype(jnp.float32)
     delta = jnp.sum(g * o, axis=-1)  # (B,h,Sq)
-    cd = q_loc.dtype
+    # uniform vma for the per-shard block operands (see _ring_fwd_impl)
+    q_loc, o, lse, g, delta = (
+        _vary(t, axis) for t in (q_loc, o, lse, g, delta)
+    )
 
     def step(i, carry):
         k_cur, v_cur, dk_cur, dv_cur, dq = carry
-        s = (
-            jnp.einsum(
-                "bhqd,bhkd->bhqk", q_loc.astype(cd), k_cur,
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+        dq_blk, dk_blk, dv_blk = _block_bwd(
+            q_loc, k_cur, v_cur, o, lse, g, delta, scale, use_flash
         )
-        p = jnp.exp(s - lse[..., None])  # (B,h,Sq,Skv_shard)
-        dv_blk = jnp.einsum(
-            "bhqk,bhqd->bhkd", p.astype(cd), g.astype(cd),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jnp.einsum(
-            "bhqd,bhkd->bhqk", g.astype(cd), v_cur,
-            preferred_element_type=jnp.float32,
-        )
-        ds = (p * (dp - delta[..., None]) * scale).astype(cd)
-        dq = dq + jnp.einsum(
-            "bhqk,bhkd->bhqd", ds, k_cur, preferred_element_type=jnp.float32
-        )
-        dk_blk = jnp.einsum(
-            "bhqk,bhqd->bhkd", ds, q_loc.astype(cd),
-            preferred_element_type=jnp.float32,
-        )
+        dq = dq + dq_blk
         # with replicated queries every device computes the COMPLETE dk/dv for
         # the visiting shard (it holds all the query rows) — overwrite, don't
         # double-count; with sharded queries each device adds its rows' part

@@ -172,6 +172,41 @@ def test_encoder_layer_grad_with_seq_shard_axis():
         )
 
 
+def test_ring_attention_flash_path_grads():
+    """The long-shard regime (shard >= MIN_FLASH_SHARD) must route fwd AND bwd
+    through the Pallas flash kernels (interpret mode on CPU) and still match
+    plain-attention autodiff — this is the regime ring attention exists for."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from jax.experimental import pallas as pl  # noqa: F401  (pallas available?)
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    B, h, Sq, Skv, d = 1, 2, 24, 1024, 16  # 2 shards x 512 = MIN_FLASH_SHARD
+    q = jnp.asarray(rng.normal(size=(B, h, Sq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, h, Skv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, h, Skv, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+    mesh = make_mesh(2, mp=1)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_attention(q, k, v, mesh=mesh, use_flash=True) * cot
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v, 1.0 / np.sqrt(d)) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        lr, gr = jax.value_and_grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    lx, gx = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(lr), float(lx), rtol=2e-4)
+    for a, b, name in zip(gr, gx, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5, err_msg=name
+        )
+
+
 def test_finetune_step_with_seq_shard_axis():
     """One full training step (value_and_grad through the 2-layer model) with
     seq_shard_axis='dp' on the 8-device mesh: loss and grads match the
