@@ -23,6 +23,11 @@ Two granularities:
 
 Runs must share episode shapes (same dataset split sizes), which the protocol
 satisfies by construction.
+
+Episodes are gathered ON DEVICE: each run's train split stays resident (the
+same stacked arrays the validation forward reads) and the loop uploads only
+the per-step fold indices (~KB) — mirroring the single-run fused step
+(`finetune.py::step_and_val`).
 """
 
 from __future__ import annotations
@@ -268,16 +273,41 @@ def fine_tune_batched_cells(
         hps["learning_rate"], optimizer=hps["optimizer"], freeze_mask=mask
     )
 
-    def one_step(state: TrainState, batch, rng, ex):
+    def one_step(state: TrainState, idx_tr, idx_te, rng, ex, vd):
+        # Episodes are gathered ON DEVICE from the run's resident train split
+        # (the same stacked arrays the validation forward reads): per step the
+        # host uploads ~KB of fold indices instead of the episodes' ~MB of
+        # rows/embeddings — the dominant steady-state cost over a
+        # remote-accelerator link (mirrors the single-run fused step,
+        # `finetune.py::step_and_val`). idx_* are (b, s) into the per-run
+        # train subset; vd entries are (1, n_tr, ...) after vmap.
+        batch = {
+            "y_train": vd["y_train"][0][idx_tr],
+            "y_test": vd["y_train"][0][idx_te],
+        }
+        if vd.get("x_train") is not None:
+            batch["x_train"] = vd["x_train"][0][idx_tr]
+            batch["x_test"] = vd["x_train"][0][idx_te]
+        if vd.get("image_train") is not None:
+            batch["image_train"] = vd["image_train"][0][idx_tr]
+            batch["image_test"] = vd["image_train"][0][idx_te]
+
         # remat only when the stacked runs' saved activations would not fit
-        # HBM: the single-run path skips remat under 4096 rows
-        # (`finetune.py`); here the budget is shared by n_runs resident runs
-        # (measured v5e 16 GB: 4x1470 rows fits remat-free at ~9 GB and steps
-        # ~35% faster; 8x1470 needs 18.3 GB -> remat).
+        # HBM. Saved bytes scale with runs x rows x TOKENS (feature groups +
+        # image tokens + y), not rows alone: a 200-feature dataset saves ~9x
+        # more per row than PAD-UFES's 23 tokens. Calibration (v5e 16 GB):
+        # 4x1470 rows x 23 tokens = 135k token-rows fits remat-free at ~9 GB
+        # and steps ~35% faster; 8x1470x23 = 270k needs 18.3 GB -> remat.
         ep_rows = (
             batch["y_train"].shape[-1] + batch["y_test"].shape[-1]
         )
-        use_remat = n_runs * ep_rows > 8000
+        n_feat = batch["x_train"].shape[-1] if batch.get("x_train") is not None else 0
+        n_tok = (
+            -(-n_feat // cfg.features_per_group)
+            + (batch["image_train"].shape[-2] if batch.get("image_train") is not None else 0)
+            + 1
+        )
+        use_remat = n_runs * ep_rows * n_tok > 180_000
 
         def compute_loss(p):
             logits = forward_train_test(
@@ -321,8 +351,8 @@ def fine_tune_batched_cells(
         shard_runs = NamedSharding(mesh, P("dp"))
         state = jax.device_put(state, jax.tree.map(lambda _: shard_runs, state))
 
-    def evaluate(params_s) -> np.ndarray:
-        logits = np.asarray(val_logits(params_s))  # (runs, 1, n_val, n_out)
+    def score_logits(logits: np.ndarray) -> np.ndarray:
+        # host-side scoring of already-fetched (runs, 1, n_val, n_out) logits
         errs = []
         for r in range(n_runs):
             lo = logits[r, 0]
@@ -346,25 +376,40 @@ def fine_tune_batched_cells(
 
     from multimodalpfn_tpu.train.step import eval_params as sf_eval
 
-    best_err = evaluate(state.params)
-    history = {"val_error": [(0, best_err.tolist())], "train_loss": []}
+    # The loop is FULLY ASYNC: per-step losses and periodic validation logits
+    # stay on device (both are KB-sized) and are fetched ONCE after the loop,
+    # so the sweep advances as back-to-back dispatches with no host sync —
+    # nothing here needs a device value mid-loop (no early stopping; the best
+    # snapshot is a min over the recorded history).
+    is_sf = hps["optimizer"] == "schedule_free_adamw"
+    loss_hist: list = []
+    val_logit_hist: list[tuple[int, Any]] = [(0, val_logits(state.params))]
     key = jax.random.PRNGKey(0)
 
     for step_i in range(1, int(hps["max_steps"]) + 1):
         if time.time() - st > time_limit:
             break
-        batch = _stack_batches([s.sample(1) for s in samplers])
+        idx = _stack_batches([s.sample_indices(1) for s in samplers])
         key, sub = jax.random.split(key)
         subs = jax.random.split(sub, n_runs)
-        state, losses = batched_step(state, batch, subs, extras)
-        history["train_loss"].append(np.asarray(losses).tolist())
+        state, losses = batched_step(
+            state, idx["train_idx"], idx["test_idx"], subs, extras, val_data
+        )
+        loss_hist.append(losses)
         if step_i % int(hps["validate_every_n_steps"]) == 0:
-            p_eval = sf_eval(state, hps["optimizer"] == "schedule_free_adamw")
-            errs = evaluate(p_eval)
-            history["val_error"].append((step_i, errs.tolist()))
-            best_err = np.minimum(best_err, errs)
+            val_logit_hist.append((step_i, val_logits(sf_eval(state, is_sf))))
 
-    p_final = sf_eval(state, hps["optimizer"] == "schedule_free_adamw")
+    p_final = sf_eval(state, is_sf)
+    history = {
+        "train_loss": [np.asarray(l).tolist() for l in loss_hist],
+        "val_error": [
+            (si, score_logits(np.asarray(lg)).tolist())
+            for si, lg in val_logit_hist
+        ],
+    }
+    best_err = np.min(
+        np.asarray([errs for _, errs in history["val_error"]]), axis=0
+    )
     history["best_val_error"] = best_err.tolist()
     history["wall_s"] = time.time() - st
     return {
