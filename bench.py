@@ -308,7 +308,8 @@ def sweep_metrics(n_runs: int = 4, n_steps: int = 20) -> dict:
     return {
         "sweep_runs": n_runs,
         "sweep_step_ms": round(dt * 1e3, 2),
-        "sweep_run_steps_per_s": round(n_runs / dt, 2),
+        # aggregate across the N resident runs (each vmapped dispatch advances
+        # every run by one step): N / wall-seconds-per-dispatch
         "sweep_steps_per_s": round(n_runs / dt, 2),
         "sweep_mfu": round(flops / dt / peak, 4),
     }

@@ -285,6 +285,10 @@ def item_attention(
         and multiquery_test
         and 512 <= sep
         and sep <= _MAX_FUSED_ITEM_ROWS()
+        # the backward keeps the full padded test-q stream (and its f32 dq
+        # scratch) resident per grid cell, so the test-row count is VMEM-bound
+        # by the same ceiling as the resident train KV
+        and x.shape[-2] - sep <= _MAX_FUSED_ITEM_ROWS()
     ):
         from multimodalpfn_tpu.ops.pallas_item_fused import fused_item_attention
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 import tempfile
 import time
@@ -142,7 +143,9 @@ def eval_config(
                 # keep the finetuned ckpt alive past the tempdir for the refit
                 import shutil
 
-                persist = Path(tempfile.mkstemp(suffix=".ckpt")[1])
+                fd, persist_name = tempfile.mkstemp(suffix=".ckpt")
+                os.close(fd)
+                persist = Path(persist_name)
                 shutil.copy(save_path, persist)
                 model_path = persist
 
