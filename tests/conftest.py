@@ -20,3 +20,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    jaxlib's CPU backend segfaults inside `backend_compile_and_load` once a
+    single long pytest process has accumulated a few hundred compiled
+    programs (reproducible at the same test ~93% into the full suite; RSS is
+    <10 GB, so not host OOM — it is JIT-code accumulation, not data).
+    Per-module cache clearing keeps within-module reuse (where almost all
+    shape sharing lives) while bounding the live-executable count.
+    """
+    yield
+    jax.clear_caches()
