@@ -387,7 +387,36 @@ def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
     return wall_cold, wall_warm, steady
 
 
+def _probe_backend(timeout_s: int = 240) -> str | None:
+    """Fail fast when the accelerator is unreachable: backend init over a dead
+    tunnel blocks indefinitely, which would hang the whole bench. Probe in a
+    subprocess with a deadline; returns the platform name or None."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if out.returncode == 0:
+            return out.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
 def main() -> None:
+    platform = _probe_backend()
+    if platform is None:
+        print(json.dumps({
+            "metric": "PAD-UFES-20-shaped fit+predict throughput",
+            "value": None, "unit": "test samples/sec/chip", "vs_baseline": None,
+            "extra": {"error": "accelerator backend unreachable (axon tunnel "
+                               "down?) — no measurement taken"},
+        }))
+        raise SystemExit(3)
+
     # persistent compilation cache (OPT-IN via MMPFN_JAX_CACHE_DIR — disabled
     # by default because cache writes stall badly over the remote-TPU tunnel)
     from multimodalpfn_tpu.utils.compile_cache import enable_persistent_cache
