@@ -216,9 +216,10 @@ def sweep_metrics(
     Same compiled program as `fine_tune_batched_cells`: episodes gathered on
     device from the resident per-run train split (~KB index uploads per
     dispatch), vmapped value_and_grad + optimizer over stacked per-run params,
-    fused kernels (remat OFF — at
-    n_runs=4 the un-rematerialized activations fit HBM and the step is ~35%
-    faster, n_runs=8 without remat exceeds the 16 GB chip). Timed as
+    fused kernels, and the SAME remat on/off decision production makes
+    (`finetune_batch.sweep_use_remat` — remat off at n_runs=4 where the
+    un-rematerialized activations fit HBM and the step is ~35% faster; the
+    decision taken is reported as ``sweep_remat``). Timed as
     ``n_steps`` back-to-back donated dispatches with ONE device->host fetch at
     the end — what production (`fine_tune_batched_cells`) actually issues per
     episode; dispatches pipeline on the device queue, so per-step wall
@@ -233,6 +234,7 @@ def sweep_metrics(
     from multimodalpfn_tpu.models.params import init_params
     from multimodalpfn_tpu.models.transformer import forward_train_test
     from multimodalpfn_tpu.train.losses import get_loss_fn
+    from multimodalpfn_tpu.train.finetune_batch import sweep_use_remat
     from multimodalpfn_tpu.train.step import (
         TrainState,
         frozen_input_mask,
@@ -257,7 +259,13 @@ def sweep_metrics(
         lambda p: jnp.array(jnp.broadcast_to(p, (n_runs, *p.shape))), params
     )
     b, s_tr, s_te, F = shape
+    # the episode gather below (and the protocol, bs=1) is single-batch; a
+    # b>1 shape would silently measure b=1 work while crediting b x FLOPs
+    assert b == 1, "sweep_metrics measures the bs=1 protocol"
     n_ctx = s_tr + s_te  # resident train split per run; episodes gather from it
+    # same remat decision as production's one_step (token-aware heuristic);
+    # n_tok proxy = feature groups + image tokens + y token
+    use_remat = sweep_use_remat(n_runs, n_ctx, F + 1 + 1)
     rng = np.random.default_rng(0)
     # the run's train split stays RESIDENT (as in fine_tune_batched_cells);
     # each step gathers its episode on device from ~KB uploaded fold indices
@@ -285,7 +293,7 @@ def sweep_metrics(
             logits = forward_train_test(
                 p, cfg, bt["x_train"], bt["y_train"], bt["x_test"],
                 bt["image_train"], bt["image_test"],
-                train=True, rng=key, remat=False,
+                train=True, rng=key, remat=use_remat,
             )
             return loss_fn(logits, bt["y_test"])
 
@@ -307,7 +315,7 @@ def sweep_metrics(
             np.ascontiguousarray(perms[:, None, s_tr:]).astype(np.int32),
         )
 
-    idx_sets = [draw_idx(s) for s in range(4)]
+    idx_sets = [draw_idx(s) for s in range(min(4, max(2, n_steps)))]
 
     state = jax.vmap(lambda p: init_train_state(p, tx))(params_s)
     state, loss = vstep(state, *idx_sets[0], keys, ctx)
@@ -318,7 +326,7 @@ def sweep_metrics(
     for rep in range(n_reps):
         t0 = time.time()
         for i in range(n_steps):
-            state, loss = vstep(state, *idx_sets[i % 4], keys, ctx)
+            state, loss = vstep(state, *idx_sets[i % len(idx_sets)], keys, ctx)
         np.asarray(loss)
         ts.append((time.time() - t0) / n_steps)
     dt = float(np.median(ts))
@@ -335,6 +343,7 @@ def sweep_metrics(
     peak = PEAK_FLOPS.get(kind, 197e12)
     return {
         "sweep_runs": n_runs,
+        "sweep_remat": bool(use_remat),
         "sweep_step_ms": round(dt * 1e3, 2),
         # aggregate across the N resident runs (each vmapped dispatch advances
         # every run by one step): N / wall-seconds-per-dispatch
@@ -473,9 +482,8 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         extra["sweep_error"] = repr(e)[:200]
     try:
-        # second operating point: 8 runs resident (fits HBM without remat
-        # since the compute-dtype residual-LN saves halved the per-layer
-        # activation footprint); keep the n=4 numbers as the headline keys
+        # second operating point: 8 runs resident (same remat decision as
+        # production); keep the n=4 numbers as the headline keys
         m8 = sweep_metrics(n_runs=8)
         extra.update({f"{k}_n8": v for k, v in m8.items() if k != "sweep_runs"})
     except Exception as e:  # pragma: no cover - OOM-guarded

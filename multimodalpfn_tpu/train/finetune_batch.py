@@ -63,6 +63,25 @@ from multimodalpfn_tpu.train.step import (
 
 logger = logging.getLogger(__name__)
 
+# Remat only when the stacked runs' saved activations would not fit HBM.
+# Saved bytes scale with runs x rows x TOKENS (feature groups + image tokens
+# + y), not rows alone: a 200-feature dataset saves ~9x more per row than
+# PAD-UFES's 23 tokens. Calibration (v5e 16 GB, pre residual-LN-save
+# measurement): 4x1470 rows x 23 tokens = 135k token-rows fits remat-free at
+# ~9 GB and steps ~35% faster; 8x1470x23 = 270k needed 18.3 GB -> remat (the
+# compute-dtype residual-LN saves have since halved per-layer saved bytes;
+# threshold to be recalibrated when the N=8 no-remat HBM probe runs).
+_REMAT_TOKEN_ROWS = 180_000
+
+
+def sweep_use_remat(n_runs: int, ep_rows: int, n_tok: int) -> bool:
+    """Shared remat on/off decision for the vmapped sweep step.
+
+    Used by both the production loop and ``bench.py``'s sweep measurement so
+    the bench always times the program production dispatches.
+    """
+    return n_runs * ep_rows * n_tok > _REMAT_TOKEN_ROWS
+
 
 def fine_tune_batched(
     *,
@@ -292,12 +311,6 @@ def fine_tune_batched_cells(
             batch["image_train"] = vd["image_train"][0][idx_tr]
             batch["image_test"] = vd["image_train"][0][idx_te]
 
-        # remat only when the stacked runs' saved activations would not fit
-        # HBM. Saved bytes scale with runs x rows x TOKENS (feature groups +
-        # image tokens + y), not rows alone: a 200-feature dataset saves ~9x
-        # more per row than PAD-UFES's 23 tokens. Calibration (v5e 16 GB):
-        # 4x1470 rows x 23 tokens = 135k token-rows fits remat-free at ~9 GB
-        # and steps ~35% faster; 8x1470x23 = 270k needs 18.3 GB -> remat.
         ep_rows = (
             batch["y_train"].shape[-1] + batch["y_test"].shape[-1]
         )
@@ -307,7 +320,7 @@ def fine_tune_batched_cells(
             + (batch["image_train"].shape[-2] if batch.get("image_train") is not None else 0)
             + 1
         )
-        use_remat = n_runs * ep_rows * n_tok > 180_000
+        use_remat = sweep_use_remat(n_runs, ep_rows, n_tok)
 
         def compute_loss(p):
             logits = forward_train_test(
