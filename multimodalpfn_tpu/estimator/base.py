@@ -62,9 +62,13 @@ def initialize_model(
     - ``"random"`` / ``"random:<seed>"``: fresh random initialization with the
       published architecture — for benchmarking/testing without weights.
     """
-    from multimodalpfn_tpu.utils.compile_cache import enable_persistent_cache
+    from multimodalpfn_tpu.utils.compile_cache import (
+        apply_compile_effort,
+        enable_persistent_cache,
+    )
 
     enable_persistent_cache()
+    apply_compile_effort()
     mixer = MixerConfig(
         mixer_type=mixer_type, mgm_heads=mgm_heads, cap_heads=cap_heads
     )

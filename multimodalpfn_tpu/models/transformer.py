@@ -28,6 +28,13 @@ from multimodalpfn_tpu.models.params import get_subspace_noise
 from multimodalpfn_tpu.ops.attention import item_attention, self_attention
 
 
+def _max_fused_item_rows() -> int:
+    # lazy: keep the Pallas module unimported until the fused path is taken
+    from multimodalpfn_tpu.ops.pallas_item_fused import MAX_FUSED_ITEM_ROWS
+
+    return MAX_FUSED_ITEM_ROWS
+
+
 def _layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Affine-free LayerNorm in fp32 (reference `layer.py:236-246`,
     elementwise_affine=False, eps=1e-5)."""
@@ -145,18 +152,39 @@ def encoder_layer_im(
         layer_params["attn_feat"]["w_qkv"],
         layer_params["attn_feat"]["w_out"],
     )
-    h = item_attention(
-        state,
-        layer_params["attn_item"]["w_qkv"],
-        layer_params["attn_item"]["w_out"],
-        single_eval_pos=single_eval_pos,
-        multiquery_test=cfg.multiquery_item_attention_for_test_set,
-        compute_dtype=cd,
-        use_flash=cfg.use_flash,
-        fused_item=cfg.use_flash and cfg.fused_item,
-        ring_axis=cfg.seq_shard_axis,
-    )
-    state = residual_ln(state, h).astype(cd)
+    sep, S = single_eval_pos, state.shape[-2]
+    if (
+        cfg.use_flash
+        and cfg.fused_item
+        and cfg.multiquery_item_attention_for_test_set
+        and cfg.seq_shard_axis is None
+        and 512 <= sep <= _max_fused_item_rows()
+        and S - sep <= _max_fused_item_rows()
+    ):
+        # whole sublayer (projections+flash+out-proj+residual+LN) in Pallas —
+        # no f32 activation or out-projection boundary ever touches HBM
+        from multimodalpfn_tpu.ops.pallas_item_fused import fused_item_sublayer
+
+        state = fused_item_sublayer(
+            state,
+            layer_params["attn_item"]["w_qkv"],
+            layer_params["attn_item"]["w_out"],
+            single_eval_pos=sep,
+            compute_dtype=cd,
+        )
+    else:
+        h = item_attention(
+            state,
+            layer_params["attn_item"]["w_qkv"],
+            layer_params["attn_item"]["w_out"],
+            single_eval_pos=sep,
+            multiquery_test=cfg.multiquery_item_attention_for_test_set,
+            compute_dtype=cd,
+            use_flash=cfg.use_flash,
+            fused_item=cfg.use_flash and cfg.fused_item,
+            ring_axis=cfg.seq_shard_axis,
+        )
+        state = residual_ln(state, h).astype(cd)
     return fused_mlp_ln(state, layer_params["mlp"]["w1"], layer_params["mlp"]["w2"])
 
 

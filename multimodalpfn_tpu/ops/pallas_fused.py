@@ -136,6 +136,20 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, o_ref):
     o_ref[...] = _ln_rows(x.astype(jnp.float32) + out).astype(o_ref.dtype)
 
 
+def _mlp_kernel_g(x_ref, w1_ref, w2_ref, o_ref):
+    x = x_ref[0]  # (R, e)
+    h = _dot_g(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = _erf_gelu(h)
+    out = _dot_g(
+        h.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = _ln_rows(x.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
 def _mlp_fwd_call(
     x: jnp.ndarray, w1: jnp.ndarray, w2: jnp.ndarray, block_rows: int
 ) -> jnp.ndarray:
@@ -143,9 +157,41 @@ def _mlp_fwd_call(
 
     Rows need no masking in the forward: each row is independent, so a
     garbage out-of-bounds tail row yields a garbage output row that the
-    masked tail-block WRITE drops."""
+    masked tail-block WRITE drops.
+
+    The grid blocks over the LAST leading axis only, with the other leading
+    dims collapsed into a free reshape: flattening ALL leading dims into one
+    rows axis forces a real HBM data-format pass whenever the last leading dim
+    is not sublane-aligned (e.g. (4,1,30,1470,192) -> (4,44100,192) at the
+    sweep shapes was a measured ~0.4 ms copy per call, both directions,
+    fwd and bwd — round-3 trace)."""
     lead = x.shape[:-1]
     e = x.shape[-1]
+    if len(lead) > 1 and lead[-1] >= block_rows:
+        # item-major: rows axis big enough to block on its own
+        s = lead[-1]
+        L = 1
+        for n in lead[:-1]:
+            L *= n
+        x2 = x.reshape(L, s, e)
+        out = pl.pallas_call(
+            _mlp_kernel_g,
+            out_shape=jax.ShapeDtypeStruct((L, s, e), x.dtype),
+            grid_spec=pl.GridSpec(
+                grid=(L, pl.cdiv(s, block_rows)),
+                in_specs=[
+                    pl.BlockSpec((1, block_rows, e), lambda g, i: (g, i, 0)),
+                    pl.BlockSpec((e, w1.shape[1]), lambda g, i: (0, 0)),
+                    pl.BlockSpec((w2.shape[0], e), lambda g, i: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, block_rows, e), lambda g, i: (g, i, 0)
+                ),
+            ),
+            compiler_params=_compiler_params("parallel", "parallel"),
+        )(x2, w1.astype(x.dtype), w2.astype(x.dtype))
+        return out.reshape(*lead, e)
+    # sample-major fallback: flatten every leading dim into one rows axis
     m = 1
     for n in lead:
         m *= n
@@ -455,10 +501,99 @@ def _mlp_bwd_kernel(
         dw2_ref[...] += dw2_blk
 
 
+def _mlp_bwd_kernel_g(
+    x_ref, g_ref, w1_ref, w2_ref, dx_ref, dw1_ref, dw2_ref, *, m_real: int
+):
+    """Item-major grid (L, s-blocks): same math as `_mlp_bwd_kernel` with the
+    row mask/grid bookkeeping on the second grid axis."""
+    x = x_ref[0]  # (R, e)
+    g = g_ref[0]
+    if m_real % x.shape[0] != 0:
+        valid = _row_mask(x.shape, m_real, pl.program_id(1))
+        x = jnp.where(valid, x, 0).astype(x.dtype)
+        g = jnp.where(valid, g, 0).astype(g.dtype)
+    g32 = g.astype(jnp.float32)
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    z = _dot_g(
+        x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    gz = _erf_gelu(z)
+    u32 = x.astype(jnp.float32) + _dot_g(
+        gz.astype(x.dtype), w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    du = _ln_rows_bwd(u32, g32)
+    du_c = du.astype(x.dtype)
+    dh = _dot_g(
+        du_c, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dz = dh * _erf_gelu_grad(z)
+    dz_c = dz.astype(x.dtype)
+    dx = du + _dot_g(
+        dz_c, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dw1_blk = _dot_g(
+        x, dz_c, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dw2_blk = _dot_g(
+        gz.astype(x.dtype), du_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw1_ref[...] = dw1_blk
+        dw2_ref[...] = dw2_blk
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dw1_ref[...] += dw1_blk
+        dw2_ref[...] += dw2_blk
+
+
 def _mlp_bwd_call(x, w1, w2, g, block_rows: int):
     lead = x.shape[:-1]
     e = x.shape[-1]
     H = w1.shape[1]
+    if len(lead) > 1 and lead[-1] >= block_rows:
+        s = lead[-1]
+        L = 1
+        for n in lead[:-1]:
+            L *= n
+        x2 = x.reshape(L, s, e)
+        g2 = g.reshape(L, s, e)
+        dx, dw1, dw2 = pl.pallas_call(
+            functools.partial(_mlp_bwd_kernel_g, m_real=s),
+            out_shape=(
+                jax.ShapeDtypeStruct((L, s, e), x.dtype),
+                jax.ShapeDtypeStruct((e, H), jnp.float32),
+                jax.ShapeDtypeStruct((H, e), jnp.float32),
+            ),
+            grid_spec=pl.GridSpec(
+                grid=(L, pl.cdiv(s, block_rows)),
+                in_specs=[
+                    pl.BlockSpec((1, block_rows, e), lambda gi, i: (gi, i, 0)),
+                    pl.BlockSpec((1, block_rows, e), lambda gi, i: (gi, i, 0)),
+                    pl.BlockSpec((e, H), lambda gi, i: (0, 0)),
+                    pl.BlockSpec((H, e), lambda gi, i: (0, 0)),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, block_rows, e), lambda gi, i: (gi, i, 0)),
+                    pl.BlockSpec((e, H), lambda gi, i: (0, 0)),
+                    pl.BlockSpec((H, e), lambda gi, i: (0, 0)),
+                ),
+            ),
+            # sequential grid: dw accumulates across blocks
+            compiler_params=_compiler_params("arbitrary", "arbitrary"),
+        )(x2, g2, w1.astype(x.dtype), w2.astype(x.dtype))
+        return (
+            dx.reshape(x.shape),
+            dw1.astype(w1.dtype),
+            dw2.astype(w2.dtype),
+        )
     m = 1
     for n in lead:
         m *= n

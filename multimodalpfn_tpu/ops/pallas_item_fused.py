@@ -56,7 +56,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from multimodalpfn_tpu.ops.pallas_fused import _compiler_params, _dot_g
+from multimodalpfn_tpu.ops.pallas_fused import (
+    _compiler_params,
+    _dot_g,
+    _ln_rows,
+    _ln_rows_bwd,
+    _row_mask,
+)
 from multimodalpfn_tpu.ops.pallas_attention import (
     MASK_VALUE,
     _fit_block,
@@ -72,6 +78,20 @@ MAX_FUSED_ITEM_ROWS = 4096
 
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 512
+
+
+def _pick_block(size: int, block_max: int) -> tuple[int, int]:
+    """(padded_size, block): block = `_fit_block` (fewest ≤block_max blocks,
+    sized to the split), padded_size = round_up(size, block).
+
+    MEASURED dead end (round 3, keep for the record): 128-granular padding
+    (1323→1408 instead of →1536) cuts ~16% of padded score FLOPs per axis,
+    but forces 128-wide blocks/chunks (1408 = 11·128 has no larger divisor) —
+    the backward's sequential (G, n_kv)×chunk grid went 3×3 big cells → 11×11
+    tiny ones and ran 4.5× SLOWER (56.8 vs 16.7 ms/layer fwd+bwd,
+    probe_sublayer_im.py). Large blocks beat minimal padding here."""
+    block = _fit_block(size, block_max)
+    return _round_up(size, block), block
 
 
 def _nt(w, x):
@@ -231,10 +251,8 @@ def _fwd_call(x3, w2, sep, *, h, d, sm_scale, block_q=DEFAULT_BLOCK_Q):
 
     # Train-self region. One padded buffer serves both the q-block stream and
     # the resident-KV operand (identical content, no second HBM copy).
-    bq_tr = _fit_block(sep, block_q)
-    sq_tr = _round_up(sep, bq_tr)
-    chunk = min(DEFAULT_BLOCK_KV, _round_up(sep, LANES))
-    skv_pad = _round_up(sep, chunk)
+    sq_tr, bq_tr = _pick_block(sep, block_q)
+    skv_pad, chunk = _pick_block(sep, DEFAULT_BLOCK_KV)
     P = max(sq_tr, skv_pad)
     x_tr = _pad_rows(x3[:, :sep], P)
 
@@ -246,8 +264,7 @@ def _fwd_call(x3, w2, sep, *, h, d, sm_scale, block_q=DEFAULT_BLOCK_Q):
     if s_te == 0:
         return o_tr[..., :sep], lse_tr, None
 
-    bq_te = _fit_block(s_te, block_q)
-    sq_te = _round_up(s_te, bq_te)
+    sq_te, bq_te = _pick_block(s_te, block_q)
     x_te = _pad_rows(x3[:, sep:], sq_te)
     o_te, lse_te = _fwd_region(
         x_te, x_tr, w2, kv_len=sep, skv_pad=skv_pad, sq_pad=sq_te, bq=bq_te,
@@ -518,11 +535,7 @@ def _pad_cols(a, to):
 
 def _core_bwd(sep, h, d, res, g):
     x3, w_qkv, o_mid, lse_tr, lse_te = res
-    G, S, e = x3.shape
-    hd = h * d
-    s_te = S - sep
-    sm_scale = 1.0 / math.sqrt(d)
-    w2 = w_qkv.reshape(3, hd, e).astype(x3.dtype)
+    G, S, _ = x3.shape
     g = g.astype(x3.dtype)
 
     # delta_h = sum_d do_h * o_h — both already in (G, hd, S) layout
@@ -531,10 +544,22 @@ def _core_bwd(sep, h, d, res, g):
         .reshape(G, h, d, S)
         .sum(axis=2)
     )  # (G, h, S)
+    dx, dw = _attn_bwd_impl(x3, w_qkv, g, delta, lse_tr, lse_te, sep, h, d)
+    return dx.astype(x3.dtype), dw
+
+
+def _attn_bwd_impl(x3, w_qkv, g, delta, lse_tr, lse_te, sep, h, d):
+    """Region backwards of the attention core given the cotangent of o_mid
+    (``g``, compute dtype) and the precomputed per-head delta. Returns
+    (dx f32, dw_qkv in w_qkv dtype)."""
+    G, S, e = x3.shape
+    hd = h * d
+    s_te = S - sep
+    sm_scale = 1.0 / math.sqrt(d)
+    w2 = w_qkv.reshape(3, hd, e).astype(x3.dtype)
 
     sq_tr = lse_tr.shape[-1]
-    chunk = min(DEFAULT_BLOCK_KV, _round_up(sep, LANES))
-    skv_pad = _round_up(sep, chunk)
+    skv_pad, _ = _pick_block(sep, DEFAULT_BLOCK_KV)
     P = max(sq_tr, skv_pad)
     x_tr = _pad_rows(x3[:, :sep], P)
     # the self region streams q over the SAME padded buffer; padded q lanes
@@ -573,10 +598,187 @@ def _core_bwd(sep, h, d, res, g):
         dx = dx_tr
 
     dw = jnp.stack([dwq, dwk, dwv]).reshape(3, h, d, e)
-    return dx.astype(x3.dtype), dw.astype(w_qkv.dtype)
+    return dx, dw.astype(w_qkv.dtype)
 
 
 item_mha_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused sublayer epilogue: out-projection + residual + post-norm
+# ---------------------------------------------------------------------------
+#
+# Keeping the epilogue in XLA cost ~1.5-2 ms/layer at the sweep shapes
+# (round-3 trace): the out-projection dot materialized its result through a
+# non-tile-aligned reshape, and the residual-LN materialized an f32 copy of
+# the full activations forward AND backward (the scan-save read converted
+# bf16->f32 through HBM). These kernels keep the whole epilogue block-resident
+# in VMEM; the backward also emits the flash backward's per-head
+# ``delta = sum_d do*o`` in the same pass, so nothing about the sublayer's
+# backward touches f32 activations in HBM.
+
+_EPI_BLOCK_ROWS = 512
+
+
+def _epi_fwd_kernel(x_ref, o_ref, w_ref, out_ref):
+    """out = LN(x + o^T w). x (1, R, e); o (1, hd, R); w (hd, e)."""
+    x = x_ref[0]
+    u = x.astype(jnp.float32) + _dot_g(o_ref[0], w_ref[...], (((0,), (0,)), ((), ())))
+    out_ref[0] = _ln_rows(u).astype(out_ref.dtype)
+
+
+def _epi_bwd_kernel(
+    x_ref, o_ref, w_ref, g_ref, dx_ref, do_ref, delta_ref, dw_ref,
+    *, h: int, d: int, s_real: int,
+):
+    x = x_ref[0]  # (R, e)
+    o_t = o_ref[0]  # (hd, R)
+    g = g_ref[0]
+    if s_real % x.shape[0] != 0:
+        # zero OOB tail rows: g=0 makes every cotangent of this row vanish
+        # algebraically; x/o are zeroed too so garbage bf16 NaN patterns
+        # cannot poison the LN statistics (0*NaN) before that happens
+        valid = _row_mask(x.shape, s_real, pl.program_id(1))
+        x = jnp.where(valid, x, 0).astype(x.dtype)
+        g = jnp.where(valid, g, 0).astype(g.dtype)
+        o_t = jnp.where(
+            _row_mask(o_t.shape, s_real, pl.program_id(1), row_axis=1), o_t, 0
+        ).astype(o_t.dtype)
+    w = w_ref[...]
+    u = x.astype(jnp.float32) + _dot_g(o_t, w, (((0,), (0,)), ((), ())))
+    du = _ln_rows_bwd(u, g.astype(jnp.float32))  # (R, e) f32
+    dx_ref[0] = du.astype(dx_ref.dtype)
+    du_c = du.astype(x.dtype)
+    do_t = _dot_g(w, du_c, (((1,), (1,)), ((), ())))  # (hd, R) f32
+    do_ref[0] = do_t.astype(do_ref.dtype)
+    # flash-backward delta for this block: per-head sum over d of do*o
+    R = x.shape[0]
+    prod = do_t * o_t.astype(jnp.float32)  # (hd, R)
+    delta_ref[0] = prod.reshape(h, d, R).sum(axis=1)
+    dw_blk = _dot_g(o_t, du_c, (((1,), (0,)), ((), ())))  # (hd, e)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw_ref[...] = dw_blk
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        dw_ref[...] += dw_blk
+
+
+def _epi_fwd_call(x3, o_mid, w2out, block_rows=_EPI_BLOCK_ROWS):
+    G, S, e = x3.shape
+    hd = w2out.shape[0]
+    return pl.pallas_call(
+        _epi_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((G, S, e), x3.dtype),
+        grid=(G, pl.cdiv(S, block_rows)),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, e), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, hd, block_rows), lambda g, i: (g, 0, i)),
+            pl.BlockSpec((hd, e), lambda g, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, e), lambda g, i: (g, i, 0)),
+        compiler_params=_compiler_params("parallel", "parallel"),
+    )(x3, o_mid, w2out)
+
+
+def _epi_bwd_call(x3, o_mid, w2out, g, h, d, block_rows=_EPI_BLOCK_ROWS):
+    G, S, e = x3.shape
+    hd = h * d
+    kern = functools.partial(_epi_bwd_kernel, h=h, d=d, s_real=S)
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((G, S, e), x3.dtype),       # du (dx epilogue)
+            jax.ShapeDtypeStruct((G, hd, S), x3.dtype),      # do_mid
+            jax.ShapeDtypeStruct((G, h, S), jnp.float32),    # delta
+            jax.ShapeDtypeStruct((hd, e), jnp.float32),      # dw_out
+        ),
+        grid=(G, pl.cdiv(S, block_rows)),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, e), lambda gi, i: (gi, i, 0)),
+            pl.BlockSpec((1, hd, block_rows), lambda gi, i: (gi, 0, i)),
+            pl.BlockSpec((hd, e), lambda gi, i: (0, 0)),
+            pl.BlockSpec((1, block_rows, e), lambda gi, i: (gi, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_rows, e), lambda gi, i: (gi, i, 0)),
+            pl.BlockSpec((1, hd, block_rows), lambda gi, i: (gi, 0, i)),
+            pl.BlockSpec((1, h, block_rows), lambda gi, i: (gi, 0, i)),
+            pl.BlockSpec((hd, e), lambda gi, i: (0, 0)),
+        ),
+        # sequential grid: dw_out accumulates across blocks
+        compiler_params=_compiler_params("arbitrary", "arbitrary"),
+    )(x3, o_mid, w2out, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _item_sublayer_core(x3, w_qkv, w_out, sep: int, h: int, d: int):
+    w2 = w_qkv.reshape(3, h * d, x3.shape[-1]).astype(x3.dtype)
+    o, _, _ = _fwd_call(x3, w2, sep, h=h, d=d, sm_scale=1.0 / math.sqrt(d))
+    return _epi_fwd_call(
+        x3, o, w_out.reshape(h * d, -1).astype(x3.dtype)
+    )
+
+
+def _sublayer_fwd(x3, w_qkv, w_out, sep, h, d):
+    w2 = w_qkv.reshape(3, h * d, x3.shape[-1]).astype(x3.dtype)
+    o, lse_tr, lse_te = _fwd_call(
+        x3, w2, sep, h=h, d=d, sm_scale=1.0 / math.sqrt(d)
+    )
+    out = _epi_fwd_call(x3, o, w_out.reshape(h * d, -1).astype(x3.dtype))
+    return out, (x3, w_qkv, w_out, o, lse_tr, lse_te)
+
+
+def _sublayer_bwd(sep, h, d, res, g):
+    x3, w_qkv, w_out, o_mid, lse_tr, lse_te = res
+    e = x3.shape[-1]
+    hd = h * d
+    w2out = w_out.reshape(hd, -1).astype(x3.dtype)
+    du, do_mid, delta, dw_out = _epi_bwd_call(
+        x3, o_mid, w2out, g.astype(x3.dtype), h, d
+    )
+    dx_attn, dw_qkv = _attn_bwd_impl(
+        x3, w_qkv, do_mid, delta, lse_tr, lse_te, sep, h, d
+    )
+    dx = du.astype(jnp.float32) + dx_attn
+    return (
+        dx.astype(x3.dtype),
+        dw_qkv,
+        dw_out.reshape(w_out.shape).astype(w_out.dtype),
+    )
+
+
+_item_sublayer_core.defvjp(_sublayer_fwd, _sublayer_bwd)
+
+
+def fused_item_sublayer(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    w_out: jnp.ndarray,
+    *,
+    single_eval_pos: int,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Whole item-attention sublayer, LN(x + W_out·attn(x)), fused fwd+bwd.
+
+    x: (..., S, e); returns the post-norm state in x's shape/compute dtype.
+    Everything — projections, flash attention, out-projection, residual,
+    LayerNorm, and their backwards (including the flash bwd's delta) — runs in
+    Pallas; the only HBM residents are x, o_mid, and lse (all compute-dtype or
+    per-head f32 vectors). Reference sublayer structure: `layer.py:341-455`.
+    """
+    *lead, S, e = x.shape
+    _, h, d, _ = w_qkv.shape
+    cd = jnp.dtype(compute_dtype)
+    G = 1
+    for n in lead:
+        G *= n
+    x3 = x.reshape(G, S, e).astype(cd)
+    out = _item_sublayer_core(x3, w_qkv, w_out, single_eval_pos, h, d)
+    return out.reshape(*lead, S, e)
 
 
 def fused_item_attention(

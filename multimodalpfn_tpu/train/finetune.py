@@ -54,7 +54,10 @@ from multimodalpfn_tpu.train.step import (
     make_optimizer,
     make_train_step,
 )
-from multimodalpfn_tpu.utils.compile_cache import enable_persistent_cache
+from multimodalpfn_tpu.utils.compile_cache import (
+    apply_compile_effort,
+    enable_persistent_cache,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -255,6 +258,7 @@ def fine_tune_mmpfn(
     """Fine-tune and save best-by-validation snapshots. Returns a history dict."""
     logger.setLevel(logger_level)
     enable_persistent_cache()
+    apply_compile_effort()
     st_time = time.time()
     phase_seconds: dict[str, float] = {}
     task = _canon_task(task_type)

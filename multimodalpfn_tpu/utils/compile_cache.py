@@ -44,3 +44,30 @@ def enable_persistent_cache() -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - cache is an optimization only
         pass
+
+
+_effort_applied = False
+
+
+def apply_compile_effort() -> None:
+    """Idempotently apply ``MMPFN_COMPILE_EFFORT`` (float in [-1, 1]) to XLA's
+    exec-time optimization effort.
+
+    The 100-step fine-tuning protocol is compile-dominated cold (~77 s of XLA
+    compile vs ~20 s of steps): lowering the scheduler/fusion search effort
+    trades a few percent of step time for a large cut in compile seconds —
+    the right trade for short protocol runs and first-contact UX. Unset = XLA
+    default (0.0). Applies process-wide at the next compilation."""
+    global _effort_applied
+    if _effort_applied:
+        return
+    val = os.environ.get("MMPFN_COMPILE_EFFORT", "")
+    if not val:
+        return  # not latched: setting the env var later still works
+    _effort_applied = True
+    try:
+        import jax
+
+        jax.config.update("jax_exec_time_optimization_effort", float(val))
+    except Exception:  # pragma: no cover - an optimization knob only
+        pass

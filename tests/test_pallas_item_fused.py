@@ -161,6 +161,85 @@ def test_dispatch_in_item_attention():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def _xla_sublayer(x, w_qkv, w_out, sep):
+    from multimodalpfn_tpu.models.transformer import residual_ln
+
+    h = _xla(x, w_qkv, w_out, sep)
+    return residual_ln(x, h)
+
+
+def test_sublayer_forward_matches_xla():
+    # S deliberately not a block multiple: exercises the epilogue tail mask
+    x, w_qkv, w_out = _make(20, lead=(3,), S=70, sep=48)
+    with pltpu.force_tpu_interpret_mode():
+        got = pif.fused_item_sublayer(
+            x, w_qkv, w_out, single_eval_pos=48, compute_dtype=jnp.float32
+        )
+    want = _xla_sublayer(x, w_qkv, w_out, 48)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sublayer_grads_match_xla():
+    x, w_qkv, w_out = _make(21, lead=(2,), S=70, sep=48)
+    cot = jnp.asarray(
+        np.random.default_rng(5).standard_normal(x.shape), jnp.float32
+    )
+
+    def loss_fused(x, w_qkv, w_out):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(
+                pif.fused_item_sublayer(
+                    x, w_qkv, w_out, single_eval_pos=48,
+                    compute_dtype=jnp.float32,
+                )
+                * cot
+            )
+
+    def loss_xla(x, w_qkv, w_out):
+        return jnp.sum(_xla_sublayer(x, w_qkv, w_out, 48) * cot)
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w_qkv, w_out)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, w_qkv, w_out)
+    for a, b, name in zip(gf, gx, ("dx", "dw_qkv", "dw_out")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, err_msg=name
+        )
+
+
+def test_sublayer_vmap_grads_match_per_run():
+    """The sweep path vmaps the whole sublayer with per-run weights."""
+    xs, ws, wo = [], [], []
+    for seed in (30, 31):
+        x, w_qkv, w_out = _make(seed, lead=(2,), S=70, sep=48)
+        xs.append(x)
+        ws.append(w_qkv)
+        wo.append(w_out)
+    xs, ws, wo = jnp.stack(xs), jnp.stack(ws), jnp.stack(wo)
+
+    def one_loss(x, w_qkv, w_out):
+        return jnp.sum(
+            pif.fused_item_sublayer(
+                x, w_qkv, w_out, single_eval_pos=48,
+                compute_dtype=jnp.float32,
+            )
+            ** 2
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        gb = jax.vmap(jax.grad(one_loss, argnums=(0, 1, 2)))(xs, ws, wo)
+        gs = [
+            jax.grad(one_loss, argnums=(0, 1, 2))(xs[i], ws[i], wo[i])
+            for i in range(2)
+        ]
+    for j in range(3):
+        np.testing.assert_allclose(
+            np.asarray(gb[j]),
+            np.asarray(jnp.stack([gs[0][j], gs[1][j]])),
+            atol=5e-5,
+        )
+
+
 def test_dispatch_falls_back_below_threshold():
     """Small sep or non-multiquery must not hit the fused kernel (no Pallas
     call is traced — runs fine without interpret mode on CPU)."""
