@@ -56,7 +56,9 @@ from multimodalpfn_tpu.train.step import (
 )
 from multimodalpfn_tpu.utils.compile_cache import (
     apply_compile_effort,
+    compile_effort_scope,
     enable_persistent_cache,
+    resolve_compile_effort,
 )
 
 logger = logging.getLogger(__name__)
@@ -446,6 +448,17 @@ def fine_tune_mmpfn(
 
     will_train = int(cfg_hp["max_steps"]) > start_step
 
+    # Short protocol runs are compile-dominated (the reference protocol is 100
+    # steps; measured cold wall 372 s of which ~4/5 is XLA compile): default
+    # their compiles to lowered exec-time effort. Break-even vs the ~11%
+    # steady-step cost is ~11k steps, so long runs keep XLA's default quality.
+    # The scope covers exactly the dispatches that compile the protocol's
+    # programs; nothing else in the process is affected. MMPFN_COMPILE_EFFORT
+    # overrides in both directions ("0" forces XLA's default everywhere).
+    protocol_effort = resolve_compile_effort(
+        -0.5 if int(cfg_hp["max_steps"]) <= 10_000 else None
+    )
+
     # In non-inline mode two programs exist (standalone validation + train
     # step); overlap their compiles: a throwaway step on a COPIED state (the
     # jit donates its input) compiles in the background while the initial
@@ -458,7 +471,11 @@ def fine_tune_mmpfn(
                 is_classification=is_classification,
             )
             batch0 = warm_sampler.sample(episode_batch_size)
-            train_step(_snap_copy(state), with_noise(batch0), jax.random.PRNGKey(0))
+            # the effort scope is thread-local: re-enter it on this thread
+            with compile_effort_scope(protocol_effort):
+                train_step(
+                    _snap_copy(state), with_noise(batch0), jax.random.PRNGKey(0)
+                )
         except Exception:  # pragma: no cover - prewarm is best-effort
             logger.debug("compile prewarm failed", exc_info=True)
 
@@ -469,22 +486,23 @@ def fine_tune_mmpfn(
 
     # ---- initial validation + snapshot (reference `finetune_mmpfn_main.py:321,352`)
     t_phase = time.time()
-    if validate_inline and will_train:
-        # ride the fused program with apply_update=0: validates the INITIAL
-        # params through the one program the loop will reuse
-        warm_sampler = EpisodeSampler(
-            X=X_train, image=image_train, y=y_train,
-            is_classification=is_classification,
-        )
-        idx0 = warm_sampler.sample_indices(episode_batch_size)
-        _st, _m, logits0, _p = step_and_val(
-            _snap_copy(state), idx0["train_idx"], idx0["test_idx"],
-            jax.random.PRNGKey(random_seed), 0.0, val_data, feat_noise,
-        )
-        best_err = score_val_logits(np.asarray(logits0)[0])
-        del _st, _m, _p
-    else:
-        best_err = validate(state.params)
+    with compile_effort_scope(protocol_effort):
+        if validate_inline and will_train:
+            # ride the fused program with apply_update=0: validates the INITIAL
+            # params through the one program the loop will reuse
+            warm_sampler = EpisodeSampler(
+                X=X_train, image=image_train, y=y_train,
+                is_classification=is_classification,
+            )
+            idx0 = warm_sampler.sample_indices(episode_batch_size)
+            _st, _m, logits0, _p = step_and_val(
+                _snap_copy(state), idx0["train_idx"], idx0["test_idx"],
+                jax.random.PRNGKey(random_seed), 0.0, val_data, feat_noise,
+            )
+            best_err = score_val_logits(np.asarray(logits0)[0])
+            del _st, _m, _p
+        else:
+            best_err = validate(state.params)
     phase_seconds["initial_validation"] = time.time() - t_phase
     snap_writer.submit(_snap_copy(state.params))
     logger.info(
