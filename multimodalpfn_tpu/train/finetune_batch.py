@@ -66,12 +66,13 @@ logger = logging.getLogger(__name__)
 # Remat only when the stacked runs' saved activations would not fit HBM.
 # Saved bytes scale with runs x rows x TOKENS (feature groups + image tokens
 # + y), not rows alone: a 200-feature dataset saves ~9x more per row than
-# PAD-UFES's 23 tokens. Calibration (v5e 16 GB, pre residual-LN-save
-# measurement): 4x1470 rows x 23 tokens = 135k token-rows fits remat-free at
-# ~9 GB and steps ~35% faster; 8x1470x23 = 270k needed 18.3 GB -> remat (the
-# compute-dtype residual-LN saves have since halved per-layer saved bytes;
-# threshold to be recalibrated when the N=8 no-remat HBM probe runs).
-_REMAT_TOKEN_ROWS = 180_000
+# PAD-UFES's 23 tokens. Recalibrated on v5e (16 GB) after the compute-dtype
+# residual-LN saves + fused item sublayer halved per-layer saved bytes
+# (`probe_sweep_noremat_n8.py`): 8x1470 rows x 23 tokens = 270k token-rows
+# now runs remat-free at 897 ms/step vs 1081 with remat (MFU 0.164 vs 0.136);
+# 12x1470x23 = 406k reproducibly exceeds HBM at compile. 300k splits the
+# measured boundary with margin for optimizer/episode buffers.
+_REMAT_TOKEN_ROWS = 300_000
 
 
 def sweep_use_remat(n_runs: int, ep_rows: int, n_tok: int) -> bool:
