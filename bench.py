@@ -418,8 +418,14 @@ def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
             return time.time() - t0, hist.get("step_seconds", [])
 
     wall_cold, _ = run(0)
+    # best-of-2 for the warm wall: the axon relay occasionally stalls a host
+    # sync for hundreds of ms, which a SINGLE 100-sync protocol wall cannot
+    # reject (measured spread on identical in-process warm runs: 46-246 s).
+    # The per-step medians below reject the stalls for the steady-state rate.
     wall_warm, steps = run(1)
-    tail = steps[5:]
+    wall_warm2, steps2 = run(2)
+    wall_warm = min(wall_warm, wall_warm2)
+    tail = steps[5:] + steps2[5:]
     steady = float(np.median(tail)) if tail else float("nan")
     return wall_cold, wall_warm, steady
 
