@@ -28,13 +28,6 @@ from multimodalpfn_tpu.models.params import get_subspace_noise
 from multimodalpfn_tpu.ops.attention import item_attention, self_attention
 
 
-def _max_fused_item_rows() -> int:
-    # lazy: keep the Pallas module unimported until the fused path is taken
-    from multimodalpfn_tpu.ops.pallas_item_fused import MAX_FUSED_ITEM_ROWS
-
-    return MAX_FUSED_ITEM_ROWS
-
-
 def _layer_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Affine-free LayerNorm in fp32 (reference `layer.py:236-246`,
     elementwise_affine=False, eps=1e-5)."""
@@ -142,6 +135,7 @@ def encoder_layer_im(
     Fused-path only (cfg.fused_ops, no token_valid mask).
     """
     cd = jnp.dtype(cfg.compute_dtype)
+    from multimodalpfn_tpu.ops.attention import can_use_fused_item
     from multimodalpfn_tpu.ops.pallas_fused import (
         fused_feature_attention_ln_im,
         fused_mlp_ln,
@@ -153,13 +147,12 @@ def encoder_layer_im(
         layer_params["attn_feat"]["w_out"],
     )
     sep, S = single_eval_pos, state.shape[-2]
-    if (
-        cfg.use_flash
-        and cfg.fused_item
-        and cfg.multiquery_item_attention_for_test_set
-        and cfg.seq_shard_axis is None
-        and 512 <= sep <= _max_fused_item_rows()
-        and S - sep <= _max_fused_item_rows()
+    if can_use_fused_item(
+        sep,
+        S - sep,
+        fused_item=cfg.use_flash and cfg.fused_item,
+        multiquery_test=cfg.multiquery_item_attention_for_test_set,
+        ring_axis=cfg.seq_shard_axis,
     ):
         # whole sublayer (projections+flash+out-proj+residual+LN) in Pallas —
         # no f32 activation or out-projection boundary ever touches HBM

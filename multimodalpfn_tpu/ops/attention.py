@@ -32,6 +32,36 @@ def _MAX_FUSED_ITEM_ROWS() -> int:
     return MAX_FUSED_ITEM_ROWS
 
 
+def can_use_fused_item(
+    sep: int,
+    n_test: int,
+    *,
+    fused_item: bool,
+    multiquery_test: bool,
+    ring_axis: str | None,
+) -> bool:
+    """THE dispatch gate for the fully-fused item sublayer
+    (`ops/pallas_item_fused.py`) — shared by `item_attention` and the
+    item-major encoder layer (`models/transformer.py::encoder_layer_im`) so
+    the two call sites cannot drift and route one shape to different kernels.
+
+    ``fused_item`` should already fold in the flash opt-in
+    (``cfg.use_flash and cfg.fused_item``). Bounds: the kernel keeps the
+    train K/V resident in VMEM (sep ≤ MAX_FUSED_ITEM_ROWS) and its backward
+    keeps the full padded test-q stream (+ f32 dq scratch) resident per grid
+    cell, so the test-row count is VMEM-bound by the same ceiling. Below 512
+    train rows both paths are microseconds; XLA avoids tiny-shape padding
+    waste there.
+    """
+    return (
+        fused_item
+        and ring_axis is None
+        and multiquery_test
+        and 512 <= sep <= _MAX_FUSED_ITEM_ROWS()
+        and n_test <= _MAX_FUSED_ITEM_ROWS()
+    )
+
+
 def mha(
     x_q: jnp.ndarray,
     x_kv: jnp.ndarray,
@@ -279,16 +309,12 @@ def item_attention(
     mesh axis for contexts beyond one chip's HBM (cfg.seq_shard_axis).
     """
     sep = single_eval_pos
-    if (
-        fused_item
-        and ring_axis is None
-        and multiquery_test
-        and 512 <= sep
-        and sep <= _MAX_FUSED_ITEM_ROWS()
-        # the backward keeps the full padded test-q stream (and its f32 dq
-        # scratch) resident per grid cell, so the test-row count is VMEM-bound
-        # by the same ceiling as the resident train KV
-        and x.shape[-2] - sep <= _MAX_FUSED_ITEM_ROWS()
+    if can_use_fused_item(
+        sep,
+        x.shape[-2] - sep,
+        fused_item=fused_item,
+        multiquery_test=multiquery_test,
+        ring_axis=ring_axis,
     ):
         from multimodalpfn_tpu.ops.pallas_item_fused import fused_item_attention
 

@@ -621,7 +621,16 @@ _EPI_BLOCK_ROWS = 512
 
 
 def _epi_fwd_kernel(x_ref, o_ref, w_ref, out_ref):
-    """out = LN(x + o^T w). x (1, R, e); o (1, hd, R); w (hd, e)."""
+    """out = LN(x + o^T w). x (1, R, e); o (1, hd, R); w (hd, e).
+
+    Precision note (intentional): the residual sum here is f32 x + the f32
+    MXU accumulation of the out-projection — the sum never exists in the
+    compute dtype. The unfused path (`models.transformer.residual_ln`) forms
+    u = x + h in the compute dtype, so in bf16 production the two dispatches
+    differ by ~1 bf16 ulp of rounding (the fused path is the MORE precise
+    one). `test_pallas_item_fused.py::test_sublayer_bf16_close_to_f32_reference`
+    pins both against the f32 reference at bf16 tolerance.
+    """
     x = x_ref[0]
     u = x.astype(jnp.float32) + _dot_g(o_ref[0], w_ref[...], (((0,), (0,)), ((), ())))
     out_ref[0] = _ln_rows(u).astype(out_ref.dtype)

@@ -30,6 +30,7 @@ import dataclasses
 import functools
 import hashlib
 import logging
+import os
 import threading
 import time
 from pathlib import Path
@@ -452,11 +453,21 @@ def fine_tune_mmpfn(
     # steps; measured cold wall 372 s of which ~4/5 is XLA compile): default
     # their compiles to lowered exec-time effort. Break-even vs the ~11%
     # steady-step cost is ~11k steps, so long runs keep XLA's default quality.
+    # With a persistent compile cache opted in, warm processes skip the
+    # compile entirely — lowered effort would then pay the +11% step cost for
+    # zero compile savings (and the cache would pin the lowered-quality
+    # executable forever), so the default stays at full quality there.
     # The scope covers exactly the dispatches that compile the protocol's
     # programs; nothing else in the process is affected. MMPFN_COMPILE_EFFORT
     # overrides in both directions ("0" forces XLA's default everywhere).
+    persistent_cache_on = bool(
+        os.environ.get("MMPFN_JAX_CACHE_DIR")
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    )
     protocol_effort = resolve_compile_effort(
-        -0.5 if int(cfg_hp["max_steps"]) <= 10_000 else None
+        -0.5
+        if int(cfg_hp["max_steps"]) <= 10_000 and not persistent_cache_on
+        else None
     )
 
     # In non-inline mode two programs exist (standalone validation + train
@@ -594,7 +605,15 @@ def fine_tune_mmpfn(
             continue
         # non-inline: synchronous step; validation on its own cadence
         batch = sampler.sample(episode_batch_size)
-        state, metrics = train_step(state, with_noise(batch), sub)
+        if step_i == start_step + 1:
+            # close the prewarm race: if this dispatch beats the prewarm
+            # thread to the step program's compile, it must still compile at
+            # the protocol effort (JAX dedups in-flight compiles, so whoever
+            # wins sets the quality — both now run under the scope)
+            with compile_effort_scope(protocol_effort):
+                state, metrics = train_step(state, with_noise(batch), sub)
+        else:
+            state, metrics = train_step(state, with_noise(batch), sub)
         fetched = jax.device_get(
             {"loss": metrics["loss"], "gn": metrics["grad_norm"]}
         )

@@ -111,12 +111,16 @@ def compile_effort_scope(effort: float | None):
         with ctx:
             yield
         return
-    # fallback: global set/restore (not thread-local, still exception-safe)
-    import jax  # pragma: no cover - exercised only on config-API drift
+    # No thread-local context manager available (jax private-API drift).
+    # A global set/restore fallback is NOT safe here: fine-tuning runs this
+    # scope concurrently on the main thread and the compile-prewarm thread,
+    # and interleaved set/restore could leave lowered effort applied
+    # process-wide after both scopes exit. Skip scoping (full-quality
+    # compiles) and say so.
+    import logging  # pragma: no cover - exercised only on config-API drift
 
-    prev = jax.config.jax_exec_time_optimization_effort
-    jax.config.update("jax_exec_time_optimization_effort", float(effort))
-    try:
-        yield
-    finally:
-        jax.config.update("jax_exec_time_optimization_effort", prev)
+    logging.getLogger(__name__).warning(
+        "jax thread-local exec_time_optimization_effort unavailable; "
+        "compiling at XLA default effort (cold-start will be slower)"
+    )
+    yield

@@ -251,3 +251,37 @@ def test_dispatch_falls_back_below_threshold():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(_xla(x, w_qkv, w_out, 48)), atol=1e-6
     )
+
+
+def test_sublayer_bf16_close_to_f32_reference():
+    """bf16 production parity across the dispatch gate (ADVICE r3): the fused
+    epilogue forms the residual as f32 x + f32 out-projection while the
+    unfused path (`residual_ln`) sums in the compute dtype — in bf16 the two
+    dispatches differ by ~1 bf16 ulp of rounding, never more. Pin both
+    against the f32 reference at bf16 tolerance so a real numeric break
+    (wrong scale/layout) cannot hide behind the dtype."""
+    x, w_qkv, w_out = _make(22, lead=(2,), S=70, sep=48)
+    want = np.asarray(_xla_sublayer(x, w_qkv, w_out, 48))
+
+    xb = x.astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        got_fused = pif.fused_item_sublayer(
+            xb, w_qkv, w_out, single_eval_pos=48, compute_dtype=jnp.bfloat16
+        )
+    from multimodalpfn_tpu.models.transformer import residual_ln
+    from multimodalpfn_tpu.ops.attention import item_attention
+
+    h = item_attention(
+        xb, w_qkv, w_out, single_eval_pos=48, multiquery_test=True,
+        compute_dtype=jnp.bfloat16, use_flash=False,
+    )
+    got_unfused = residual_ln(xb, h)
+
+    # LN output is O(1); bf16 has ~2-3 decimal digits -> atol 0.06 covers
+    # accumulated rounding while catching any structural error
+    np.testing.assert_allclose(
+        np.asarray(got_fused, np.float32), want, atol=0.06, rtol=0.03
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_unfused, np.float32), want, atol=0.06, rtol=0.03
+    )
