@@ -106,6 +106,77 @@ class FullSupportBarDistribution:
 
     __call__ = nll_loss
 
+    def compute_scaled_log_probs(self, logits: jnp.ndarray) -> jnp.ndarray:
+        """log p(y) of the piecewise-uniform density
+        (reference `bar_distribution.py:173-176`)."""
+        return jax.nn.log_softmax(logits, axis=-1) - jnp.log(self.bucket_widths)
+
+    def full_ce(self, logits: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
+        """Cross-entropy against a full bucket distribution
+        (reference `bar_distribution.py:178-179`)."""
+        return -(probs * jax.nn.log_softmax(logits, axis=-1)).sum(axis=-1)
+
+    def mean_loss(
+        self, logits: jnp.ndarray, mean_prediction_logits: jnp.ndarray
+    ) -> jnp.ndarray:
+        """NLL of each batch element's mean prediction under separate
+        mean-prediction logits (reference `bar_distribution.py:220-241`,
+        kept "TO BE REMOVED AFTER BO SUBMISSION" there — ported for parity).
+
+        logits: ``(T, B, num_bars)``; mean_prediction_logits: ``(B, num_bars)``.
+        Returns ``(1, B)``.
+        """
+        assert logits.ndim == 3, logits.ndim
+        assert mean_prediction_logits.ndim == 2, mean_prediction_logits.ndim
+        scaled_mean_log_probs = self.compute_scaled_log_probs(
+            mean_prediction_logits
+        )
+        means = jax.lax.stop_gradient(self.mean(logits))  # (T, B)
+        target_mean = jnp.clip(
+            self.map_to_bucket_idx(means), 0, self.num_bars - 1
+        )
+        picked = jnp.take_along_axis(
+            scaled_mean_log_probs, target_mean.T, axis=1
+        )  # (B, T)
+        return -picked.mean(axis=1)[None]
+
+    def cdf_temporary(self, logits: jnp.ndarray) -> jnp.ndarray:
+        """Faithful port of the reference's odd helper
+        (`bar_distribution.py:248-255`): ``-cumsum(softmax(logits)).sum(-1)``
+        — note it reduces the bucket axis away (NOT a per-bucket CDF; use
+        `cdf` for that). Kept verbatim because it is still called upstream."""
+        probs = jax.nn.softmax(logits, axis=-1)
+        return -jnp.cumsum(probs, axis=-1).sum(axis=-1)
+
+    def plot(self, logits, ax=None, zoom_to_quantile=None, **kwargs):
+        """Bar plot of one distribution (reference `bar_distribution.py:411-445`).
+
+        Host-side convenience; requires matplotlib (not imported at module
+        scope — the reference's module-level pyplot import is one of its
+        recorded defects, SURVEY.md §7)."""
+        import matplotlib.pyplot as plt  # deferred: plotting is optional
+
+        logits = jnp.squeeze(jnp.asarray(logits))
+        assert logits.ndim == 1, "logits should be 1d, at least after squeezing."
+        if ax is None:
+            ax = plt.gca()
+        borders = np.asarray(self.borders)
+        widths = np.asarray(self.bucket_widths)
+        if zoom_to_quantile is not None:
+            bounds = np.asarray(self.quantile(logits, zoom_to_quantile))
+            lower_bound = float(bounds[..., 0].min())
+            upper_bound = float(bounds[..., 1].max())
+            ax.set_xlim(lower_bound, upper_bound)
+            border_mask = (borders[:-1] >= lower_bound) & (
+                borders[1:] <= upper_bound
+            )
+        else:
+            border_mask = slice(None)
+        p = np.asarray(jax.nn.softmax(logits, axis=-1) / self.bucket_widths)
+        ax.bar(borders[:-1][border_mask], p[border_mask],
+               widths[border_mask], **kwargs)
+        return ax
+
     # -- moments / point estimates --------------------------------------------
     def mean(self, logits):
         """reference `bar_distribution.py:588-598`: tail buckets use the

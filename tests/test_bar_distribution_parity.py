@@ -118,3 +118,58 @@ def test_bucket_limits_match():
     got2 = get_bucket_limits(8, full_range=(-3.0, 5.0))
     want2 = ref_bd.get_bucket_limits(8, full_range=(-3.0, 5.0)).numpy()
     np.testing.assert_allclose(got2, want2, rtol=1e-6)
+
+
+def test_scaled_log_probs_and_full_ce_match(setup):
+    ours, theirs, logits, _ = setup
+    lt = torch.from_numpy(logits)
+    lj = jnp.asarray(logits)
+    np.testing.assert_allclose(
+        np.asarray(ours.compute_scaled_log_probs(lj)),
+        theirs.compute_scaled_log_probs(lt).numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+    probs = torch.softmax(torch.from_numpy(
+        np.random.default_rng(3).normal(size=logits.shape).astype(np.float32)
+    ), -1)
+    np.testing.assert_allclose(
+        np.asarray(ours.full_ce(lj, jnp.asarray(probs.numpy()))),
+        theirs.full_ce(lt, probs).numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_mean_loss_matches(setup):
+    ours, theirs, _, _ = setup
+    rng = np.random.default_rng(4)
+    T, B, nb = 5, 3, 20
+    logits = rng.normal(size=(T, B, nb)).astype(np.float32)
+    mean_logits = rng.normal(size=(B, nb)).astype(np.float32)
+    got = np.asarray(
+        ours.mean_loss(jnp.asarray(logits), jnp.asarray(mean_logits))
+    )
+    want = theirs.mean_loss(
+        torch.from_numpy(logits), torch.from_numpy(mean_logits)
+    ).numpy()
+    assert got.shape == want.shape == (1, B)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_cdf_temporary_matches(setup):
+    ours, theirs, logits, _ = setup
+    got = np.asarray(ours.cdf_temporary(jnp.asarray(logits)))
+    want = theirs.cdf_temporary(torch.from_numpy(logits)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_plot_runs():
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    rng = np.random.default_rng(5)
+    borders = np.sort(rng.normal(size=21)).astype(np.float32)
+    d = FullSupportBarDistribution(jnp.asarray(borders))
+    logits = jnp.asarray(rng.normal(size=(20,)).astype(np.float32))
+    ax = d.plot(logits)
+    assert ax is not None
+    ax2 = d.plot(logits, zoom_to_quantile=0.9)
+    assert ax2 is not None
