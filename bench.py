@@ -207,6 +207,7 @@ def sweep_metrics(
     nlayers: int = 12,
     shape: tuple[int, int, int, int] = (1, 1323, 147, 21),
     n_reps: int = 3,
+    mgm_list: tuple[int, ...] | None = None,
 ) -> dict:
     """North-star sweep regime: N independent fine-tune runs resident on one
     chip, advancing as ONE vmapped step stream (`train/finetune_batch.py`,
@@ -226,12 +227,27 @@ def sweep_metrics(
     converges to device time (matches the profiler's module time to <1 ms).
     A scan-chained measurement is deliberately NOT used: the scan carry adds
     ~100 ms/step of copy traffic the per-episode production loop never pays.
+
+    ``mgm_list``: per-run ACTIVE mgm_heads for the HETEROGENEOUS cross-cell
+    regime (the reference grid sweeps mgm over 2..256 with a shared small cap,
+    `configs/pad_ufes_20.yaml:1-4`, so a big batched sweep is necessarily
+    mixed-width). Mixer params are padded to max(mgm_list) and a traced
+    per-run ``mgm_active`` masks the inactive heads exactly — the same
+    program `fine_tune_batched_cells` compiles. MGM+CAP emits cap_heads
+    tokens for every run, so the transformer runs the identical fused/flash
+    path; only the mixer executes padded width. The reported MFU counts each
+    run's ACTIVE model FLOPs (useful work); ``sweep_pad_overhead`` is
+    executed/active.
     """
     import jax
     import jax.numpy as jnp
 
     from multimodalpfn_tpu.models.config import MixerConfig, ModelConfig
-    from multimodalpfn_tpu.models.params import init_params
+    from multimodalpfn_tpu.models.params import (
+        init_mixer_params,
+        init_params,
+        pad_mixer_params,
+    )
     from multimodalpfn_tpu.models.transformer import forward_train_test
     from multimodalpfn_tpu.train.losses import get_loss_fn
     from multimodalpfn_tpu.train.finetune_batch import sweep_use_remat
@@ -243,6 +259,10 @@ def sweep_metrics(
     )
 
     on_accel = jax.devices()[0].platform not in ("cpu",)
+    hetero = mgm_list is not None
+    if hetero:
+        assert len(mgm_list) == n_runs
+    mgm_max = max(mgm_list) if hetero else BENCH_MGM
     cfg = ModelConfig(
         emsize=emsize, nhead=nhead, nhid_factor=4, nlayers=nlayers,
         features_per_group=1,
@@ -250,7 +270,7 @@ def sweep_metrics(
         compute_dtype="bfloat16" if on_accel else "float32",
         use_flash=on_accel, fused_ops=on_accel,
         mixer=MixerConfig(
-            mixer_type="MGM+CAP", mgm_heads=BENCH_MGM, cap_heads=BENCH_CAP,
+            mixer_type="MGM+CAP", mgm_heads=mgm_max, cap_heads=BENCH_CAP,
             in_dim=768,
         ),
     )
@@ -258,6 +278,26 @@ def sweep_metrics(
     params_s = jax.tree.map(
         lambda p: jnp.array(jnp.broadcast_to(p, (n_runs, *p.shape))), params
     )
+    extras = {}
+    if hetero:
+        # per-run mixer init at the TRUE head count, padded to the group max —
+        # exactly what fine_tune_batched_cells stacks
+        import dataclasses as _dc
+
+        mixers = [
+            pad_mixer_params(
+                init_mixer_params(
+                    jax.random.PRNGKey(r),
+                    _dc.replace(cfg.mixer, mgm_heads=int(m)),
+                    cfg.emsize,
+                ),
+                cfg.mixer,
+            )
+            for r, m in enumerate(mgm_list)
+        ]
+        params_s = dict(params_s)
+        params_s["mixer"] = jax.tree.map(lambda *xs: jnp.stack(xs), *mixers)
+        extras["mgm_active"] = jnp.asarray(list(mgm_list), jnp.int32)
     b, s_tr, s_te, F = shape
     # the episode gather below (and the protocol, bs=1) is single-batch; a
     # b>1 shape would silently measure b=1 work while crediting b x FLOPs
@@ -279,7 +319,7 @@ def sweep_metrics(
     loss_fn = get_loss_fn("multiclass")
     tx = make_optimizer(1e-5, freeze_mask=frozen_input_mask(params, True))
 
-    def one_step(state, idx_tr, idx_te, key, vd):
+    def one_step(state, idx_tr, idx_te, key, ex, vd):
         bt = {
             "x_train": vd["x"][0][idx_tr],
             "y_train": vd["y"][0][idx_tr],
@@ -294,6 +334,7 @@ def sweep_metrics(
                 p, cfg, bt["x_train"], bt["y_train"], bt["x_test"],
                 bt["image_train"], bt["image_test"],
                 train=True, rng=key, remat=use_remat,
+                mgm_active=ex.get("mgm_active"),
             )
             return loss_fn(logits, bt["y_test"])
 
@@ -318,30 +359,38 @@ def sweep_metrics(
     idx_sets = [draw_idx(s) for s in range(min(4, max(2, n_steps)))]
 
     state = jax.vmap(lambda p: init_train_state(p, tx))(params_s)
-    state, loss = vstep(state, *idx_sets[0], keys, ctx)
+    state, loss = vstep(state, *idx_sets[0], keys, extras, ctx)
     np.asarray(loss)  # compile
-    state, loss = vstep(state, *idx_sets[1], keys, ctx)
+    state, loss = vstep(state, *idx_sets[1], keys, extras, ctx)
     np.asarray(loss)  # warm the dispatch queue
     ts = []
     for rep in range(n_reps):
         t0 = time.time()
         for i in range(n_steps):
-            state, loss = vstep(state, *idx_sets[i % len(idx_sets)], keys, ctx)
+            state, loss = vstep(
+                state, *idx_sets[i % len(idx_sets)], keys, extras, ctx
+            )
         np.asarray(loss)
         ts.append((time.time() - t0) / n_steps)
     dt = float(np.median(ts))
     assert np.isfinite(np.asarray(loss)).all(), "sweep step produced non-finite loss"
 
-    fwd_flops = model_matmul_flops(
-        e=cfg.emsize, nhead=cfg.nhead, nhid=cfg.nhid, nlayers=cfg.nlayers,
-        b=b, s=s_tr + s_te, s_tr=s_tr, s_te=s_te,
-        t=F + BENCH_CAP + 1, in_dim=768, mgm=BENCH_MGM, cap=BENCH_CAP,
-        n_out=cfg.n_out,
-    )
-    flops = 3.0 * fwd_flops * n_runs
+    def run_fwd_flops(mgm: int) -> float:
+        return model_matmul_flops(
+            e=cfg.emsize, nhead=cfg.nhead, nhid=cfg.nhid, nlayers=cfg.nlayers,
+            b=b, s=s_tr + s_te, s_tr=s_tr, s_te=s_te,
+            t=F + BENCH_CAP + 1, in_dim=768, mgm=mgm, cap=BENCH_CAP,
+            n_out=cfg.n_out,
+        )
+
+    active_mgm = list(mgm_list) if hetero else [BENCH_MGM] * n_runs
+    # MFU counts each run's ACTIVE FLOPs (what its unpadded cell computes);
+    # the padded mixer's extra executed work is reported separately
+    flops = 3.0 * sum(run_fwd_flops(m) for m in active_mgm)
+    executed = 3.0 * run_fwd_flops(mgm_max) * n_runs
     kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(kind, 197e12)
-    return {
+    out = {
         "sweep_runs": n_runs,
         "sweep_remat": bool(use_remat),
         "sweep_step_ms": round(dt * 1e3, 2),
@@ -350,6 +399,10 @@ def sweep_metrics(
         "sweep_steps_per_s": round(n_runs / dt, 2),
         "sweep_mfu": round(flops / dt / peak, 4),
     }
+    if hetero:
+        out["sweep_mgm_list"] = list(mgm_list)
+        out["sweep_pad_overhead"] = round(executed / flops, 3)
+    return out
 
 
 def serving_metrics(X, emb, y, n_repeat: int = 11) -> dict:
@@ -421,13 +474,14 @@ def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
     # best-of-2 for the warm wall: the axon relay occasionally stalls a host
     # sync for hundreds of ms, which a SINGLE 100-sync protocol wall cannot
     # reject (measured spread on identical in-process warm runs: 46-246 s).
-    # The per-step medians below reject the stalls for the steady-state rate.
+    # Both raw walls are reported in the bench JSON so the statistic is
+    # visible next to any comparison. The per-step medians below reject the
+    # stalls for the steady-state rate.
     wall_warm, steps = run(1)
     wall_warm2, steps2 = run(2)
-    wall_warm = min(wall_warm, wall_warm2)
     tail = steps[5:] + steps2[5:]
     steady = float(np.median(tail)) if tail else float("nan")
-    return wall_cold, wall_warm, steady
+    return wall_cold, min(wall_warm, wall_warm2), steady, [wall_warm, wall_warm2]
 
 
 def _probe_backend(timeout_s: int = 240) -> str | None:
@@ -495,12 +549,25 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - OOM-guarded
         extra["sweep8_error"] = repr(e)[:200]
     try:
+        # heterogeneous cross-cell regime: mixed mgm_heads in ONE vmapped
+        # stream — the shape the reference grid (mgm 2..256, shared small cap)
+        # actually requires. Runs the same fused/flash program as the
+        # homogeneous sweep; MFU counts active (unpadded) FLOPs.
+        mh = sweep_metrics(n_runs=4, mgm_list=(16, 16, 64, 64))
+        extra.update({
+            (k if k in ("sweep_mgm_list", "sweep_pad_overhead")
+             else f"{k}_hetero"): v
+            for k, v in mh.items() if k != "sweep_runs"
+        })
+    except Exception as e:  # pragma: no cover
+        extra["sweep_hetero_error"] = repr(e)[:200]
+    try:
         extra.update(serving_metrics(X, emb, y))
     except Exception as e:  # pragma: no cover
         extra["serving_error"] = repr(e)[:200]
     try:
         try:
-            ft_s, ft_warm_s, steady = finetune_protocol_seconds(X, emb, y)
+            ft_s, ft_warm_s, steady, warm_raw = finetune_protocol_seconds(X, emb, y)
         except Exception:
             # the remote compile service occasionally 500s; retry once COLD:
             # dropping the memoized programs forces the XLA compile again so
@@ -509,11 +576,13 @@ def main() -> None:
 
             _ft._PROGRAM_CACHE.clear()
             extra["finetune_retried"] = True
-            ft_s, ft_warm_s, steady = finetune_protocol_seconds(X, emb, y)
+            ft_s, ft_warm_s, steady, warm_raw = finetune_protocol_seconds(X, emb, y)
         extra["finetune_100steps_s"] = round(ft_s, 1)
         extra["finetune_vs_reference_gpu"] = round(167.6 / ft_s, 2)
-        # warm = every HPO trial after the first in a process (program cache)
+        # warm = every HPO trial after the first in a process (program cache);
+        # best-of-2 (relay-stall rejection) — both raw walls recorded
         extra["finetune_100steps_warm_s"] = round(ft_warm_s, 1)
+        extra["finetune_warm_raw_s"] = [round(w, 1) for w in warm_raw]
         extra["finetune_warm_vs_reference_gpu"] = round(167.6 / ft_warm_s, 2)
         # steady-state = step + validation + episode sampling, compile excluded
         extra["finetune_steady_s_per_step"] = round(steady, 3)

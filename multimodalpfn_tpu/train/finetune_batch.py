@@ -84,6 +84,20 @@ def sweep_use_remat(n_runs: int, ep_rows: int, n_tok: int) -> bool:
     return n_runs * ep_rows * n_tok > _REMAT_TOKEN_ROWS
 
 
+def sweep_needs_token_mask(mixer_on: bool, padded: bool, mixer_type: str) -> bool:
+    """Whether a batched group's forward carries a token_valid mask.
+
+    Only padded MGM/MoE mixers vary the TOKEN COUNT with mgm_heads; MGM+CAP
+    emits exactly cap_heads tokens for every run (the CAP queries are never
+    padded), so the reference's actual hetero grid (mgm 2..256 × shared cap,
+    `configs/pad_ufes_20.yaml:1-4`) batches with NO transformer-level mask —
+    and therefore runs the full fused/flash kernel path. The padding cost is
+    confined to the mixer (inactive MGM heads, masked exactly in
+    `mixers.apply_mixer`).
+    """
+    return mixer_on and padded and mixer_type in ("MGM", "MoE")
+
+
 def fine_tune_batched(
     *,
     mixer_type: str,
@@ -280,13 +294,18 @@ def fine_tune_batched_cells(
     loss_fn = get_loss_fn(task, borders)
     scorer = get_scorer(validation_metric)
 
-    # Training runs the fused sublayer kernels for non-padded groups, same as
-    # the single-run path (`train/finetune.py`): vmap batches the custom-VJP
-    # Pallas calls correctly (the run axis becomes a leading grid dim; grads
-    # match XLA to ~1e-6 on TPU — tools/probes/probe_vmap_fused.py). Padded
-    # groups carry a traced token_valid mask, whose masked feature attention
-    # only exists on the XLA path.
-    train_cfg = dataclasses.replace(cfg, fused_ops=on_accel and not extras)
+    # Training runs the fused sublayer kernels whenever the forward carries no
+    # token_valid mask, same as the single-run path (`train/finetune.py`): vmap
+    # batches the custom-VJP Pallas calls correctly (the run axis becomes a
+    # leading grid dim; grads match XLA to ~1e-6 on TPU —
+    # tools/probes/probe_vmap_fused.py). See `sweep_needs_token_mask`: only
+    # padded MGM/MoE groups mask tokens; hetero MGM+CAP groups (the reference
+    # grid's shape) run the full fused/flash path.
+    train_cfg = dataclasses.replace(
+        cfg,
+        fused_ops=on_accel
+        and not sweep_needs_token_mask(mixer_on, padded, mixer_type),
+    )
 
     mask = frozen_input_mask(loaded.params, freeze_input)
     tx = make_optimizer(

@@ -237,3 +237,45 @@ def test_run_experiment_cross_cell(tmp_path):
     assert all(t.user_attrs["n_completed_seeds"] == 2 for t in done)
     assert all(0.0 <= t.value <= 1.0 for t in done)
     assert (tmp_path / "res.json").exists()
+
+
+def test_padded_mgm_cap_fused_path_matches_unpadded():
+    """The hetero MGM+CAP group runs the FUSED sublayer kernels: the mixer
+    emits exactly cap_heads tokens for every run, so there is no token mask
+    and `fine_tune_batched_cells` keeps cfg.fused_ops on (round-4 gate,
+    `finetune_batch.sweep_needs_token_mask`). Pin: the fused forward with a
+    padded+masked mixer equals the unpadded XLA forward (interpret mode)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg_a = _cfg("MGM+CAP", 2, 2)
+    cfg_p = dataclasses.replace(_cfg("MGM+CAP", 5, 2), fused_ops=True)
+    x, y, img = _data(seed=3)
+
+    params = _densify(init_params(jax.random.PRNGKey(4), cfg_a, model_seed=0))
+    want = forward(params, cfg_a, x, y, img, single_eval_pos=12)
+
+    params_p = dict(params)
+    params_p["mixer"] = pad_mixer_params(params["mixer"], cfg_p.mixer)
+    with pltpu.force_tpu_interpret_mode():
+        got = forward(
+            params_p, cfg_p, x, y, img, single_eval_pos=12,
+            mgm_active=jnp.int32(2),
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-6, atol=3e-6
+    )
+
+
+def test_sweep_token_mask_gate():
+    """Only padded MGM/MoE groups need the (XLA-only) token mask; MGM+CAP
+    hetero groups — the reference grid's actual shape — stay on the fused
+    path."""
+    from multimodalpfn_tpu.train.finetune_batch import sweep_needs_token_mask
+
+    assert not sweep_needs_token_mask(True, True, "MGM+CAP")
+    assert not sweep_needs_token_mask(True, False, "MGM")
+    assert not sweep_needs_token_mask(False, True, "MGM")
+    assert sweep_needs_token_mask(True, True, "MGM")
+    assert sweep_needs_token_mask(True, True, "MoE")

@@ -15,7 +15,7 @@ sys.path.insert(0, ".")
 import bench
 from multimodalpfn_tpu.datasets.synthetic import pad_ufes_like
 X, emb, y = pad_ufes_like(seed=0)
-cold, warm, steady = bench.finetune_protocol_seconds(X, emb, y)
+cold, warm, steady, _raw = bench.finetune_protocol_seconds(X, emb, y)
 print("RESULT " + json.dumps({"cold": cold, "warm": warm, "steady": steady}))
 """
 
