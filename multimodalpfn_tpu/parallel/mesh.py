@@ -92,3 +92,24 @@ def batch_shardings(batch: dict, mesh: Mesh) -> dict:
 
 def replicated(tree, mesh: Mesh):
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def shard_estimator(estimator, mesh: Mesh):
+    """Tensor-parallel serving: re-lay a FITTED estimator's params over ``mesh``.
+
+    The estimator's predict path jits one batched forward per member group
+    (`estimator/inference.py::_group_and_run`); with the params device_put to
+    the `param_shardings` layout, GSPMD partitions those forwards over ``mp``
+    (attention heads / MLP hidden) and inserts the reduce collectives on ICI.
+    Call ``predict``/``predict_proba`` inside ``with jax.set_mesh(mesh):`` so
+    replicated operands commit to the same mesh. Returns the estimator.
+
+    The reference has no sharded-serving story at all (its multi-GPU is
+    independent shell processes, `run0.sh`/`run1.sh`); this is the TPU-native
+    path for models/contexts past one chip's HBM.
+    """
+    params = getattr(estimator, "params_", None)
+    if params is None:
+        raise ValueError("shard_estimator requires a fitted estimator (call fit first)")
+    estimator.params_ = jax.device_put(params, param_shardings(params, mesh))
+    return estimator
