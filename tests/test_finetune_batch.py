@@ -2,6 +2,7 @@
 and dp-mesh sharding (the 'vmapped HPO trials' path)."""
 
 import numpy as np
+import pytest
 
 from multimodalpfn_tpu.datasets.synthetic import toy_multimodal_classification
 
@@ -82,3 +83,49 @@ def test_fine_tune_batched_on_mesh(tmp_path):
         mesh=mesh,
     )
     assert np.isfinite(np.asarray(out["history"]["train_loss"])).all()
+
+
+@pytest.mark.slow
+def test_fine_tune_batched_on_mesh_published_geometry(tmp_path):
+    """Batched fine-tuning sharded over the virtual 8-device mesh at the
+    PUBLISHED architecture (192/768, 6 heads, 12 layers — reference
+    `model/config.py:25-50`), short sequences. Deepens the multichip gate
+    beyond one train step (round-3 verdict #6)."""
+    import jax
+
+    from multimodalpfn_tpu.models.config import MixerConfig, ModelConfig
+    from multimodalpfn_tpu.models.loading import save_model
+    from multimodalpfn_tpu.models.params import init_params
+    from multimodalpfn_tpu.parallel.mesh import make_mesh
+    from multimodalpfn_tpu.train.finetune_batch import fine_tune_batched
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs >=8 virtual devices")
+    path = tmp_path / "published.ckpt"
+    cfg = ModelConfig(
+        emsize=192, nhead=6, nhid_factor=4, nlayers=12, n_out=10,
+        max_num_classes=10,
+        mixer=MixerConfig("MGM+CAP", mgm_heads=16, cap_heads=8, in_dim=768),
+    )
+    save_model(path, init_params(jax.random.PRNGKey(0), cfg, model_seed=0), cfg)
+    X, emb, y = toy_multimodal_classification(
+        n=64, n_classes=3, emb_dim=768, seed=2
+    )
+    mesh = make_mesh(8, mp=1)
+    out = fine_tune_batched(
+        mixer_type="MGM+CAP",
+        mgm_heads=16,
+        cap_heads=8,
+        features_per_group=1,
+        path_to_base_model=str(path),
+        X=X,
+        image=emb,
+        y=y,
+        seeds=[0, 1, 2, 3, 4, 5, 6, 7],
+        finetuning_config={"max_steps": 3, "validate_every_n_steps": 3},
+        mesh=mesh,
+    )
+    losses = np.asarray(out["history"]["train_loss"])
+    assert losses.shape == (3, 8)
+    assert np.isfinite(losses).all()
+    assert len(out["history"]["best_val_error"]) == 8
