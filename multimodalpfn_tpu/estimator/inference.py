@@ -67,6 +67,34 @@ class _Member:
     cat_ix: list[int] | None
 
 
+# Cross-engine device cache for the TRAIN-side image embeddings, keyed by
+# content. The reference experiment pattern (grid x seeds on ONE dataset,
+# `run.py:26-201`) re-fits fresh estimators on identical embeddings; without
+# this every fresh engine re-uploads the full train images on its first
+# predict (~5.6 MB, ~100+ ms over a remote-device link). Content-hashing the
+# host array costs ~5 ms — an order of magnitude cheaper. Device arrays are
+# immutable, so sharing across engines is safe.
+_DEV_IMG_CACHE: dict[tuple, Any] = {}
+_DEV_IMG_CACHE_MAX = 4
+
+
+def _device_train_image(arr) -> Any:
+    if isinstance(arr, jax.Array):
+        return arr
+    import hashlib
+
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.float32))
+    key = (a.shape, hashlib.blake2b(a.tobytes(), digest_size=16).hexdigest())
+    hit = _DEV_IMG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dev = jnp.asarray(a)
+    if len(_DEV_IMG_CACHE) >= _DEV_IMG_CACHE_MAX:
+        _DEV_IMG_CACHE.pop(next(iter(_DEV_IMG_CACHE)))
+    _DEV_IMG_CACHE[key] = dev
+    return dev
+
+
 TEST_SIZE_BUCKET = 128
 
 
@@ -127,7 +155,7 @@ def _group_and_run(
         img_tr = (
             image_train
             if isinstance(image_train, jax.Array)
-            else jnp.asarray(np.asarray(image_train, dtype=np.float32))
+            else _device_train_image(image_train)
         )
         img_te = jnp.asarray(np.asarray(image_test, dtype=np.float32))
         image_full = jnp.concatenate([img_tr, img_te], axis=0)
@@ -239,9 +267,7 @@ class InferenceEngineCachePreprocessing(InferenceEngine):
         img_tr = self.image_train
         if img_tr is not None:
             if not hasattr(self, "_image_train_dev"):
-                self._image_train_dev = jnp.asarray(
-                    np.asarray(img_tr, dtype=np.float32)
-                )
+                self._image_train_dev = _device_train_image(img_tr)
             img_tr = self._image_train_dev
         outs = _group_and_run(
             self.params,
@@ -344,7 +370,7 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
         img = (
             None
             if self.image_train is None
-            else np.asarray(self.image_train, dtype=np.float32)
+            else _device_train_image(self.image_train)
         )
         self.caches = {}
         for (width, sep), idxs in groups.items():

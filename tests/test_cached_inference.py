@@ -51,3 +51,30 @@ def test_cached_outlier_mode():
     cache = prime_cache(params, cfg, x[:, :sep], y, None)
     cached = np.asarray(forward_cached(params, cfg, cache, x[:, sep:], None))
     np.testing.assert_allclose(cached, full, rtol=2e-4, atol=2e-5)
+
+
+def test_device_train_image_cache_dedups_uploads():
+    """Identical embedding content -> ONE device array shared across engines
+    (the HPO/grid regime re-fits fresh estimators on the same dataset); new
+    content -> new array; LRU-bounded."""
+    from multimodalpfn_tpu.estimator.inference import (
+        _DEV_IMG_CACHE,
+        _DEV_IMG_CACHE_MAX,
+        _device_train_image,
+    )
+
+    _DEV_IMG_CACHE.clear()
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(16, 1, 8)).astype(np.float32)
+    d1 = _device_train_image(a)
+    d2 = _device_train_image(a.copy())  # same content, different host buffer
+    assert d1 is d2
+    np.testing.assert_array_equal(np.asarray(d1), a)
+    b = a + 1.0
+    d3 = _device_train_image(b)
+    assert d3 is not d1
+    # a device array passes through untouched (already uploaded)
+    assert _device_train_image(d1) is d1
+    for i in range(_DEV_IMG_CACHE_MAX + 1):
+        _device_train_image(a + 2.0 + i)
+    assert len(_DEV_IMG_CACHE) <= _DEV_IMG_CACHE_MAX
