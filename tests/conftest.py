@@ -21,6 +21,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
 
+# Persistent XLA compile cache for the test session (and across sessions):
+# the suite's wall time is dominated by CPU XLA compiles, and the per-module
+# cache clearing below (segfault workaround) forces shared programs to
+# recompile in later modules. CPU executable serialization is cheap (unlike
+# the remote-TPU tunnel, where the production default keeps this off — see
+# utils/compile_cache.py), so cleared modules re-LOAD from disk instead.
+# Opt out with MMPFN_TEST_JAX_CACHE=0; point elsewhere by setting it to a path.
+_cache = os.environ.get("MMPFN_TEST_JAX_CACHE", "/tmp/mmpfn_test_jax_cache")
+if _cache not in ("0", ""):
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 
