@@ -405,12 +405,21 @@ def sweep_metrics(
     return out
 
 
-def serving_metrics(X, emb, y, n_repeat: int = 11) -> dict:
+def serving_metrics(
+    X, emb, y, n_repeat: int = 11, batch_rows: tuple[int, ...] = (460, 920, 1840)
+) -> dict:
     """Serving regime: fit once with the functional KV cache
     (`fit_mode="fit_with_cache"`, reference CacheKV mode `inference.py:354-513`),
-    then repeated `predict_proba` calls on the held-out split. Reports steady
-    samples/s and p50 per-predict wall latency (includes host dispatch — the
-    honest per-request number over the axon tunnel)."""
+    then repeated `predict_proba` calls. Reports steady samples/s and p50
+    per-predict wall latency (includes host dispatch — the honest per-request
+    number over the axon tunnel) at MULTIPLE request batch sizes: per-request
+    overhead (host preprocess + tunnel sync, ~fixed) amortizes over rows, so
+    throughput serving should batch requests — the sweep shows the curve.
+    Larger points tile the 460 held-out rows (identical compute per row).
+
+    Headline keys stay at the 460-row point (continuity with r2/r3 captures);
+    `serving_batch_sweep` carries [rows, samples_per_s, p50_ms] per point.
+    """
     from multimodalpfn_tpu import MMPFNClassifier
 
     ntr = int(len(X) * 0.8)
@@ -421,18 +430,30 @@ def serving_metrics(X, emb, y, n_repeat: int = 11) -> dict:
         random_state=0, fit_mode="fit_with_cache",
     )
     clf.fit(X[:ntr], emb[:ntr], y[:ntr])
-    clf.predict_proba(X[ntr:], emb[ntr:])  # warmup: compile
-    lats = []
-    for _ in range(n_repeat):
-        t0 = time.time()
-        clf.predict_proba(X[ntr:], emb[ntr:])
-        lats.append(time.time() - t0)
-    p50 = float(np.median(lats))
-    return {
-        "serving_samples_per_s": round(n_test / p50, 1),
-        "serving_p50_predict_ms": round(p50 * 1e3, 1),
-        "serving_batch_rows": n_test,
-    }
+    Xte, Ete = X[ntr:], emb[ntr:]
+    out: dict = {}
+    sweep = []
+    for nb in batch_rows:
+        reps = -(-nb // n_test)
+        Xq = np.concatenate([Xte] * reps)[:nb]
+        Eq = np.concatenate([Ete] * reps)[:nb]
+        clf.predict_proba(Xq, Eq)  # warmup: compile this bucket
+        lats = []
+        for _ in range(n_repeat):
+            t0 = time.time()
+            clf.predict_proba(Xq, Eq)
+            lats.append(time.time() - t0)
+        p50 = float(np.median(lats))
+        sweep.append([nb, round(nb / p50, 1), round(p50 * 1e3, 1)])
+        if nb == n_test:
+            out["serving_samples_per_s"] = round(n_test / p50, 1)
+            out["serving_p50_predict_ms"] = round(p50 * 1e3, 1)
+            out["serving_batch_rows"] = n_test
+    out["serving_batch_sweep"] = sweep
+    best = max(sweep, key=lambda r: r[1])
+    out["serving_best_samples_per_s"] = best[1]
+    out["serving_best_batch_rows"] = best[0]
+    return out
 
 
 def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
