@@ -95,6 +95,105 @@ def _device_train_image(arr) -> Any:
     return dev
 
 
+def _mixer_token_count(mx, n_img_patches: int) -> int:
+    """Static transformer-token count the mixer emits (models/mixers.py
+    dispatch): MGM+CAP pools to cap_heads queries; MoE emits one token per
+    expert (= mgm_heads); plain MGM emits mgm_heads per image patch."""
+    if mx.mixer_type == "none":
+        return 0
+    if mx.mixer_type == "MGM+CAP":
+        return mx.cap_heads
+    if mx.mixer_type == "MoE":
+        return mx.mgm_heads
+    return mx.mgm_heads * n_img_patches
+
+
+# merged cross-width groups waste compute on padded columns; above this
+# relative padding the split same-width groups win
+_MERGE_PAD_LIMIT = 0.25
+
+
+def _merge_width_aux(
+    cfg: ModelConfig, widths: Sequence[int], n_img_tokens: int
+) -> tuple[np.ndarray, np.ndarray | None, int]:
+    """Cross-width member batching: members zero-pad their preprocessed
+    features to the group max and run ONE forward, masking padded token slots
+    out of feature attention (exact — softmax over valid keys only; padded
+    slots' streams evolve but are never read). Zero columns pass the on-device
+    encoder unchanged: constant -> RemoveEmpty zeroes them, nan/outlier/
+    normalize stats of an all-zero column are 0, variance-rescale counts only
+    non-constant columns. The reference runs members sequentially at native
+    widths (`inference.py:294-349`); this reproduces those numerics in one
+    batched program.
+
+    Returns (tab_valid (b, g_max) bool, feat_pos_noise (b, t_x, k) f32 | None,
+    wmax). Noise tables are each member's NATIVE draws (torch draws are not
+    prefix-stable across token counts) placed at the padded layout's slots:
+    features at [0, g_i), image tokens at [g_max, g_max + n_img)."""
+    from multimodalpfn_tpu.models.params import get_subspace_noise
+
+    fpg = cfg.features_per_group
+    wmax = max(widths)
+    g_max = -(-wmax // fpg)
+    b = len(widths)
+    tab_valid = np.zeros((b, g_max), bool)
+    for i, w in enumerate(widths):
+        tab_valid[i, : -(-w // fpg)] = True
+    noise = None
+    if cfg.feature_positional_embedding == "subspace":
+        k = cfg.emsize // 4
+        noise = np.zeros((b, g_max + n_img_tokens, k), np.float32)
+        for i, w in enumerate(widths):
+            gi = -(-w // fpg)
+            nat = get_subspace_noise(cfg.model_seed, gi + n_img_tokens, k)
+            noise[i, :gi] = nat[:gi]
+            if n_img_tokens:
+                noise[i, g_max:] = nat[gi:]
+    return tab_valid, noise, wmax
+
+
+def _pad_width(a: np.ndarray, wmax: int) -> np.ndarray:
+    if a.shape[1] == wmax:
+        return np.asarray(a, dtype=np.float32)
+    out = np.zeros((a.shape[0], wmax), np.float32)
+    out[:, : a.shape[1]] = a
+    return out
+
+
+def _plan_groups(
+    groups: dict[tuple, list[int]], cfg: ModelConfig, n_img_tokens: int
+) -> list[tuple[list[int], int, np.ndarray | None, np.ndarray | None]]:
+    """Collapse same-sep tabular width groups into one padded+masked group when
+    the padding waste is small. Returns [(idxs, width, tab_valid, noise)];
+    width -1 = image-only, tab_valid None = homogeneous (no mask needed)."""
+    plans: list[tuple[list[int], int, Any, Any]] = []
+    by_sep: dict[int, list[tuple[int, list[int]]]] = {}
+    for (width, sep), idxs in groups.items():
+        if width < 0:
+            plans.append((idxs, -1, None, None))
+        else:
+            by_sep.setdefault(sep, []).append((width, idxs))
+    for sep, wgroups in by_sep.items():
+        widths_flat: list[int] = []
+        idxs_flat: list[int] = []
+        for w, idxs in wgroups:
+            widths_flat += [w] * len(idxs)
+            idxs_flat += idxs
+        wmax = max(widths_flat)
+        pad_rel = sum(wmax - w for w in widths_flat) / max(
+            1, sum(widths_flat)
+        )
+        if len(wgroups) == 1 or pad_rel > _MERGE_PAD_LIMIT:
+            for w, idxs in wgroups:
+                plans.append((idxs, w, None, None))
+            continue
+        tab_valid, noise, wmax = _merge_width_aux(
+            cfg, widths_flat, n_img_tokens
+        )
+        plans.append((idxs_flat, wmax, tab_valid, noise))
+    return plans
+
+
 TEST_SIZE_BUCKET = 128
 
 
@@ -160,21 +259,35 @@ def _group_and_run(
         img_te = jnp.asarray(np.asarray(image_test, dtype=np.float32))
         image_full = jnp.concatenate([img_tr, img_te], axis=0)
 
-    # group member indices by (feature width, train length)
+    # group member indices by (feature width, train length), then collapse
+    # same-sep width groups into one padded+masked batched forward (cross-width
+    # batching — see _merge_width_aux)
     groups: dict[tuple, list[int]] = {}
     for i, (m, Xt) in enumerate(zip(members, X_tests)):
         width = -1 if Xt is None else Xt.shape[1]
         groups.setdefault((width, len(m.y_train)), []).append(i)
+    n_img_tokens = (
+        0
+        if image_full is None
+        else _mixer_token_count(cfg.mixer, image_full.shape[-2])
+    )
+    plans = _plan_groups(groups, cfg, n_img_tokens)
 
     outputs: list[np.ndarray | None] = [None] * len(members)
     pending: list[tuple[list[int], Any]] = []  # dispatch all groups, read back once
-    for (width, sep), idxs in groups.items():
+    for idxs, width, tab_valid, noise in plans:
+        sep = len(members[idxs[0]].y_train)
         ys = np.stack([members[i].y_train.astype(np.float32) for i in idxs])
         if width >= 0:
             xs = np.stack(
                 [
-                    np.concatenate(
-                        [members[i].X_train, X_tests[i]], axis=0, dtype=np.float32
+                    _pad_width(
+                        np.concatenate(
+                            [members[i].X_train, X_tests[i]],
+                            axis=0,
+                            dtype=np.float32,
+                        ),
+                        width,
                     )
                     for i in idxs
                 ]
@@ -198,6 +311,8 @@ def _group_and_run(
                 ys[sl],
                 img,  # singleton member axis; broadcast inside the forward
                 single_eval_pos=sep,
+                tab_valid=None if tab_valid is None else jnp.asarray(tab_valid[sl]),
+                feat_pos_noise=None if noise is None else jnp.asarray(noise[sl]),
             )
             pending.append((idxs[sl], logits))
     # ONE host sync for every group (the remote-TPU tunnel costs ~30ms/sync)
@@ -352,7 +467,7 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
     only the test rows (reference `inference.py:354-513`, functional re-design in
     models/cached.py — no model deepcopies, caches are arrays in one pytree)."""
 
-    caches: dict | None = None  # (width, sep) group -> (TrainsetCache, member idxs)
+    caches: list | None = None  # [(TrainsetCache, member idxs, width)]
 
     def _prime(self):
         on_accel = jax.devices()[0].platform not in ("cpu",)
@@ -372,23 +487,49 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
             if self.image_train is None
             else _device_train_image(self.image_train)
         )
-        self.caches = {}
-        for (width, sep), idxs in groups.items():
+        n_img_tokens = (
+            0 if img is None else _mixer_token_count(self.cfg.mixer, img.shape[-2])
+        )
+        plans = _plan_groups(groups, self.cfg, n_img_tokens)
+        self.caches = []
+        for idxs, width, tab_valid, noise in plans:
             ys = np.stack([self.members[i].y_train.astype(np.float32) for i in idxs])
             xs = (
                 None
                 if width < 0
                 else np.stack(
-                    [self.members[i].X_train.astype(np.float32) for i in idxs]
+                    [
+                        _pad_width(
+                            self.members[i].X_train.astype(np.float32), width
+                        )
+                        for i in idxs
+                    ]
                 )
             )
+            token_valid = None
+            if tab_valid is not None:
+                # full token-axis mask: [tab groups | image tokens | y] — image
+                # and target tokens always valid
+                token_valid = np.concatenate(
+                    [
+                        tab_valid,
+                        np.ones((tab_valid.shape[0], n_img_tokens + 1), bool),
+                    ],
+                    axis=1,
+                )
             # singleton member axis: one device transfer + one mixer run; the
             # cached forward broadcasts tokens across members on device
             img_b = None if img is None else img[None]
-            self.caches[(width, sep)] = (
-                _prime_cache_jit()(self.params, run_cfg, xs, ys, img_b),
-                idxs,
+            cache = _prime_cache_jit()(
+                self.params,
+                run_cfg,
+                xs,
+                ys,
+                img_b,
+                None if token_valid is None else jnp.asarray(token_valid),
+                None if noise is None else jnp.asarray(noise),
             )
+            self.caches.append((cache, idxs, width))
 
     def iter_outputs(self, X, image_test):
         if self.caches is None:
@@ -417,11 +558,16 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
                 )
         outputs: list[np.ndarray | None] = [None] * len(self.members)
         fwd = _forward_cached_jit()  # module-level: predicts reuse one compile
-        for (width, sep), (cache, idxs) in self.caches.items():
+        for cache, idxs, width in self.caches:
             xs = (
                 None
                 if width < 0
-                else np.stack([X_tests[i].astype(np.float32) for i in idxs])
+                else np.stack(
+                    [
+                        _pad_width(X_tests[i].astype(np.float32), width)
+                        for i in idxs
+                    ]
+                )
             )
             # singleton member axis (shared test image): ~1/len(idxs) of the
             # per-predict host->device transfer, mixer runs once

@@ -170,24 +170,41 @@ def apply_y_encoder(
 
 class TrainsetCache(NamedTuple):
     stats: EncoderStats
-    kv0: jnp.ndarray  # (L, b, t, S_tr, 2, d) item-attn KV head 0 per layer
+    # (L, b, t, 2, d, S_tr) item-attn KV head 0 per layer, stored in the flash
+    # kernel's transposed layout (d on sublanes, S on lanes) so every predict
+    # consumes it with zero relayouts (see ops/pallas_attention docstring)
+    kv0: jnp.ndarray
+    # cross-width batching (optional): (b, t) bool per-member feature-attn key
+    # mask and (b, t_x, k) per-member subspace-noise tables — members padded to
+    # a shared feature width keep their NATIVE noise draws and mask their
+    # padded token slots (see estimator/inference.py group merging)
+    token_valid: jnp.ndarray | None = None
+    feat_pos_noise: jnp.ndarray | None = None
 
 
 
-def _feat_sublayer(st, lp, cd, cfg):
+def _feat_sublayer(st, lp, cd, cfg, token_valid=None):
     """Feature attention + residual + post-norm; fused Pallas sublayer on
-    accelerators (cfg.fused_ops), XLA formulation otherwise."""
+    accelerators (cfg.fused_ops), XLA formulation otherwise.
+
+    token_valid: optional (b, t) bool — per-member key mask for cross-width
+    batching (members padded to a shared feature width; see
+    estimator/inference.py). st is (b, s, t, e)."""
     from multimodalpfn_tpu.ops.pallas_fused import (
         MAX_FUSED_ATTN_TOKENS,
         fused_feature_attention_ln,
     )
 
     if cfg.fused_ops and st.shape[-2] <= MAX_FUSED_ATTN_TOKENS:
+        km = None if token_valid is None else token_valid[:, None, :]
         return fused_feature_attention_ln(
-            st.astype(cd), lp["attn_feat"]["w_qkv"], lp["attn_feat"]["w_out"]
+            st.astype(cd), lp["attn_feat"]["w_qkv"], lp["attn_feat"]["w_out"],
+            key_mask=km,
         )
+    km = None if token_valid is None else token_valid[:, None, None, None, :]
     h = self_attention(
-        st, lp["attn_feat"]["w_qkv"], lp["attn_feat"]["w_out"], compute_dtype=cd
+        st, lp["attn_feat"]["w_qkv"], lp["attn_feat"]["w_out"],
+        compute_dtype=cd, key_mask=km,
     )
     return _layer_norm(st + h).astype(cd)
 
@@ -207,14 +224,26 @@ def prime_cache(
     x_train: jnp.ndarray | None,
     y_train: jnp.ndarray,
     image_train: jnp.ndarray | None = None,
+    token_valid: jnp.ndarray | None = None,
+    feat_pos_noise: jnp.ndarray | None = None,
 ) -> TrainsetCache:
-    """Run the train rows through the stack, recording per-layer KV-head-0."""
+    """Run the train rows through the stack, recording per-layer KV-head-0.
+
+    token_valid / feat_pos_noise: cross-width member batching — see
+    TrainsetCache; both ride along in the returned cache so predicts reuse
+    them."""
     prec = "highest" if cfg.compute_dtype == "float32" else "default"
     with jax.default_matmul_precision(prec):
-        return _prime_impl(params, cfg, x_train, y_train, image_train)
+        return _prime_impl(
+            params, cfg, x_train, y_train, image_train, token_valid,
+            feat_pos_noise,
+        )
 
 
-def _prime_impl(params, cfg, x_train, y_train, image_train):
+def _prime_impl(
+    params, cfg, x_train, y_train, image_train, token_valid=None,
+    feat_pos_noise=None,
+):
     cd = jnp.dtype(cfg.compute_dtype)
     xg = (
         None
@@ -236,12 +265,18 @@ def _prime_impl(params, cfg, x_train, y_train, image_train):
             tokens if embedded_x is None else jnp.concatenate([embedded_x, tokens], -2)
         )
     if cfg.feature_positional_embedding == "subspace":
-        noise = jnp.asarray(
-            get_subspace_noise(cfg.model_seed, embedded_x.shape[-2], cfg.emsize // 4)
-        )
+        if feat_pos_noise is not None:
+            noise = feat_pos_noise  # (b, t_x, k) per-member native draws
+        else:
+            noise = jnp.asarray(
+                get_subspace_noise(
+                    cfg.model_seed, embedded_x.shape[-2], cfg.emsize // 4
+                )
+            )
+        embs = noise @ params["feat_pos_emb"]["w"] + params["feat_pos_emb"]["b"]
         embedded_x = embedded_x + (
-            noise @ params["feat_pos_emb"]["w"] + params["feat_pos_emb"]["b"]
-        )[None, None]
+            embs[:, None] if embs.ndim == 3 else embs[None, None]
+        )
     embedded_y = apply_y_encoder(params["y_encoder"], cfg, stats, y_train)
     state = jnp.concatenate([embedded_x, embedded_y[:, :, None, :]], 2).astype(cd)
 
@@ -251,25 +286,28 @@ def _prime_impl(params, cfg, x_train, y_train, image_train):
         st = carry
         # KV of this layer's item attention, head 0, from the pre-layer state's
         # post-feature-attn representation (reference caches inside the train
-        # self-attention call, `layer.py:362-372`)
-        st = _feat_sublayer(st, lp, cd, cfg)
+        # self-attention call, `layer.py:362-372`) — emitted directly in the
+        # transposed (d, S) layout the flash predict consumes
+        st = _feat_sublayer(st, lp, cd, cfg, token_valid)
         sti = jnp.swapaxes(st, 1, 2)  # (b, t, s, e)
         wk = lp["attn_item"]["w_qkv"][1, 0]
         wv = lp["attn_item"]["w_qkv"][2, 0]
-        k0 = jnp.einsum("btsi,di->btsd", sti.astype(cd), wk.astype(cd),
+        k0 = jnp.einsum("btsi,di->btds", sti.astype(cd), wk.astype(cd),
                         preferred_element_type=jnp.float32)
-        v0 = jnp.einsum("btsi,di->btsd", sti.astype(cd), wv.astype(cd),
+        v0 = jnp.einsum("btsi,di->btds", sti.astype(cd), wv.astype(cd),
                         preferred_element_type=jnp.float32)
-        kv0 = jnp.stack([k0, v0], axis=-2).astype(cd)  # (b, t, s, 2, d)
-        # full train self-attention to advance the state
+        kv0 = jnp.stack([k0, v0], axis=2).astype(cd)  # (b, t, 2, d, s)
+        # full train self-attention to advance the state; the flash kernel
+        # never materializes the (t, h, S_tr, S_tr) score tensor the einsum
+        # path writes through HBM (~GBs per layer at PAD-UFES scale)
         h = mha(sti, sti, lp["attn_item"]["w_qkv"], lp["attn_item"]["w_out"],
-                compute_dtype=cd)
+                compute_dtype=cd, use_flash=cfg.use_flash)
         st = _layer_norm(st + jnp.swapaxes(h, 1, 2)).astype(cd)
         st = _mlp_sublayer(st, lp, cd, cfg)
         return st, kv0
 
     _, kv0 = jax.lax.scan(body, state, params["layers"])
-    return TrainsetCache(stats, kv0)
+    return TrainsetCache(stats, kv0, token_valid, feat_pos_noise)
 
 
 def forward_cached(
@@ -304,36 +342,64 @@ def _forward_cached_impl(params, cfg, cache, x_test, image_test):
     n_feature_tokens = cache.kv0.shape[2] - 1  # static (t = features + y token)
     assert embedded_x.shape[-2] == n_feature_tokens
     if cfg.feature_positional_embedding == "subspace":
-        noise = jnp.asarray(
-            get_subspace_noise(cfg.model_seed, n_feature_tokens, cfg.emsize // 4)
-        )
+        if cache.feat_pos_noise is not None:
+            noise = cache.feat_pos_noise  # (b, t_x, k), same draws as prime
+        else:
+            noise = jnp.asarray(
+                get_subspace_noise(
+                    cfg.model_seed, n_feature_tokens, cfg.emsize // 4
+                )
+            )
+        embs = noise @ params["feat_pos_emb"]["w"] + params["feat_pos_emb"]["b"]
         embedded_x = embedded_x + (
-            noise @ params["feat_pos_emb"]["w"] + params["feat_pos_emb"]["b"]
-        )[None, None]
+            embs[:, None] if embs.ndim == 3 else embs[None, None]
+        )
     s_te = embedded_x.shape[1]
     y_nan = jnp.full((embedded_x.shape[0], s_te), jnp.nan, jnp.float32)
     embedded_y = apply_y_encoder(params["y_encoder"], cfg, cache.stats, y_nan)
     state = jnp.concatenate([embedded_x, embedded_y[:, :, None, :]], 2).astype(cd)
 
     def body(carry, layer_in):
-        lp, kv0 = layer_in
+        lp, kv0 = layer_in  # kv0: (b, t, 2, d, S_tr), transposed layout
         st = carry
-        st = _feat_sublayer(st, lp, cd, cfg)
+        st = _feat_sublayer(st, lp, cd, cfg, cache.token_valid)
         sti = jnp.swapaxes(st, 1, 2)  # (b, t, s_te, e)
-        wq = lp["attn_item"]["w_qkv"][0]
-        q = jnp.einsum("btsi,hdi->btshd", sti.astype(cd), wq.astype(cd),
-                       preferred_element_type=jnp.float32)
-        k0 = kv0[..., 0, :].astype(cd)  # (b, t, S_tr, d)
-        v0 = kv0[..., 1, :].astype(cd)
-        scale = 1.0 / (q.shape[-1] ** 0.5)
-        logits = jnp.einsum("btqhd,btkd->bthqk", q.astype(cd), k0,
-                            preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        o = jnp.einsum("bthqk,btkd->btqhd", p.astype(cd), v0,
-                       preferred_element_type=jnp.float32)
-        h = jnp.einsum("btqhd,hdo->btqo", o.astype(cd),
-                       lp["attn_item"]["w_out"].astype(cd),
-                       preferred_element_type=jnp.float32)
+        wq = lp["attn_item"]["w_qkv"][0]  # (h, d, e)
+        h_n, d = wq.shape[0], wq.shape[1]
+        k0 = kv0[:, :, 0].astype(cd)  # (b, t, d, S_tr)
+        v0 = kv0[:, :, 1].astype(cd)
+        if cfg.use_flash:
+            # multiquery flash: fold query heads into the lane axis and
+            # cross-attend to the cached single KV head — scores stream
+            # through VMEM instead of a (b,t,h,q,k) HBM tensor
+            from multimodalpfn_tpu.ops.pallas_attention import flash_mha_t
+
+            b_, t_, s_, _ = sti.shape
+            q3 = jnp.einsum(
+                "btsi,hdi->btdhs", sti.astype(cd), wq.astype(cd),
+                preferred_element_type=cd,
+            ).reshape(b_ * t_, d, h_n * s_)
+            o3 = flash_mha_t(
+                q3, k0.reshape(b_ * t_, d, -1), v0.reshape(b_ * t_, d, -1)
+            )
+            o = o3.reshape(b_, t_, d, h_n, s_)
+            h = jnp.einsum(
+                "btdhq,hdo->btqo", o.astype(cd),
+                lp["attn_item"]["w_out"].astype(cd),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            q = jnp.einsum("btsi,hdi->btshd", sti.astype(cd), wq.astype(cd),
+                           preferred_element_type=jnp.float32)
+            scale = 1.0 / (d ** 0.5)
+            logits = jnp.einsum("btqhd,btdk->bthqk", q.astype(cd), k0,
+                                preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            o = jnp.einsum("bthqk,btdk->btqhd", p.astype(cd), v0,
+                           preferred_element_type=jnp.float32)
+            h = jnp.einsum("btqhd,hdo->btqo", o.astype(cd),
+                           lp["attn_item"]["w_out"].astype(cd),
+                           preferred_element_type=jnp.float32)
         st = _layer_norm(st + jnp.swapaxes(h, 1, 2)).astype(cd)
         st = _mlp_sublayer(st, lp, cd, cfg)
         return st, None

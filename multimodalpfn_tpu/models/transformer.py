@@ -121,6 +121,7 @@ def encoder_layer_im(
     *,
     single_eval_pos: int,
     cfg: ModelConfig,
+    token_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Item-major PerFeatureEncoderLayer: state ``(b, t, s, e)``.
 
@@ -132,7 +133,11 @@ def encoder_layer_im(
     residual-LN are layout-agnostic. `_forward_impl` transposes ONCE before
     the 12-layer scan and never again (round-3 trace: the per-layer
     (b,s,t,e)<->(b,t,s,e) HBM copy pair was ~7% of the sweep train step).
-    Fused-path only (cfg.fused_ops, no token_valid mask).
+    Fused-path only (cfg.fused_ops).
+
+    token_valid: optional (b, t) per-member feature-attn key mask (cross-width
+    batched INFERENCE only — the masked fused forward has no custom VJP;
+    training masks stay on `encoder_layer`'s XLA path).
     """
     cd = jnp.dtype(cfg.compute_dtype)
     from multimodalpfn_tpu.ops.attention import can_use_fused_item
@@ -145,6 +150,7 @@ def encoder_layer_im(
         state.astype(cd),
         layer_params["attn_feat"]["w_qkv"],
         layer_params["attn_feat"]["w_out"],
+        key_mask=token_valid,
     )
     sep, S = single_eval_pos, state.shape[-2]
     if can_use_fused_item(
@@ -216,12 +222,16 @@ def encoder_layer(
             layer_params["attn_feat"]["w_out"],
         )
     else:
+        km = token_valid
+        if km is not None and km.ndim == 2:
+            # per-member (b, t) mask against (b, s, h, q, k) logits
+            km = km[:, None, None, None, :]
         h = self_attention(
             state,
             layer_params["attn_feat"]["w_qkv"],
             layer_params["attn_feat"]["w_out"],
             compute_dtype=cd,
-            key_mask=token_valid,
+            key_mask=km,
         )
         # residuals/LN run in fp32 (accumulated outputs); cast back to the
         # compute dtype so the scan carry dtype is stable in bf16 mode
@@ -277,6 +287,7 @@ def forward(
     return_embeddings: bool = False,
     mgm_active: jnp.ndarray | None = None,
     feat_pos_noise: jnp.ndarray | None = None,
+    tab_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray | dict[str, Any]:
     """Forward pass.
 
@@ -290,6 +301,10 @@ def forward(
         params (cross-cell batched HPO); inactive heads/tokens are masked
         exactly, so the result equals an unpadded mixer of the active size.
       feat_pos_noise: per-run subspace-noise table override (see _forward_impl).
+      tab_valid: optional ``(b, f_tab)`` bool — per-member validity of the
+        tabular feature-group token slots (cross-width batched inference:
+        members zero-padded to a shared width mask their padded slots out of
+        feature attention as keys). Image and target tokens stay valid.
 
     Returns logits ``(b, S - sep, n_out)`` (or a dict with embeddings).
     """
@@ -311,6 +326,7 @@ def forward(
             return_embeddings=return_embeddings,
             mgm_active=mgm_active,
             feat_pos_noise=feat_pos_noise,
+            tab_valid=tab_valid,
         )
 
 
@@ -328,6 +344,7 @@ def _forward_impl(
     return_embeddings: bool = False,
     mgm_active: jnp.ndarray | None = None,
     feat_pos_noise: jnp.ndarray | None = None,
+    tab_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray | dict[str, Any]:
     sep = single_eval_pos
     b = y_train.shape[0]
@@ -394,7 +411,10 @@ def _forward_impl(
                 get_subspace_noise(cfg.model_seed, f_total, cfg.emsize // 4)
             )
         embs = noise @ params["feat_pos_emb"]["w"] + params["feat_pos_emb"]["b"]
-        embedded_x = embedded_x + embs[None, None]
+        # shared table (t_x, k) or per-member tables (b, t_x, k)
+        embedded_x = embedded_x + (
+            embs[:, None] if embs.ndim == 3 else embs[None, None]
+        )
 
     state = jnp.concatenate([embedded_x, embedded_y[:, :, None, :]], axis=2)
     state = state.astype(jnp.dtype(cfg.compute_dtype))
@@ -407,6 +427,20 @@ def _forward_impl(
         # tabular feature tokens and the target token are always valid; only an
         # active prefix of the (padded) image tokens is
         token_valid = (idx < f_tab) | (idx - f_tab < active_img) | (idx == t_total - 1)
+    if tab_valid is not None:
+        # cross-width batched inference: per-member (b, t) mask over the full
+        # token axis — padded tabular slots invalid, image/target tokens valid
+        assert active_img is None, "tab_valid and mgm_active are exclusive"
+        assert not train, "cross-width masks are inference-only (no fused vjp)"
+        token_valid = jnp.concatenate(
+            [
+                tab_valid.astype(bool),
+                jnp.ones(
+                    (tab_valid.shape[0], n_img_tokens + 1), dtype=bool
+                ),
+            ],
+            axis=1,
+        )
 
     # ---- encoder stack under scan (stacked layer params)
     # item-major canonical layout whenever the fully-fused sublayers apply:
@@ -414,14 +448,21 @@ def _forward_impl(
     # copy pair per layer (see encoder_layer_im)
     from multimodalpfn_tpu.ops.pallas_fused import MAX_FUSED_ATTN_TOKENS
 
+    # per-member (b, t) inference masks keep the item-major fused pipeline
+    # (the masked fused feature-attn forward, see pallas_fused); traced/shared
+    # training masks stay on the sample-major XLA path
+    im_mask = token_valid is not None and tab_valid is not None
     item_major = (
         cfg.fused_ops
-        and token_valid is None
+        and (token_valid is None or im_mask)
         and state.shape[2] <= MAX_FUSED_ATTN_TOKENS
     )
     if item_major:
         state = jnp.swapaxes(state, 1, 2)  # (b, t, s, e)
-        layer_fn = partial(encoder_layer_im, single_eval_pos=sep, cfg=cfg)
+        layer_fn = partial(
+            encoder_layer_im, single_eval_pos=sep, cfg=cfg,
+            token_valid=token_valid if im_mask else None,
+        )
     else:
         layer_fn = partial(
             encoder_layer, single_eval_pos=sep, cfg=cfg, token_valid=token_valid

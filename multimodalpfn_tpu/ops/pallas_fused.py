@@ -270,8 +270,55 @@ def _feat_attn_kernel_im(
     o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
 
 
+def _feat_attn_kernel_masked(
+    x_ref,
+    mask_ref,
+    wqkv_ref,
+    wout_ref,
+    o_ref,
+    *,
+    h: int,
+    d: int,
+    t_real: int,
+    sm_scale: float,
+):
+    """Per-ROW key-masked block (inference-only, no vjp): mask_ref (R, t8)
+    f32 0/1 — 0 keys are excluded exactly (−inf logits). Serves cross-width
+    member batching: members padded to a common feature width share one
+    program, each row masking its own padded token slots."""
+    x = x_ref[...]
+    o_ref[...] = _feat_attn_fwd_core(
+        x, wqkv_ref, wout_ref, h=h, d=d, t_real=t_real, sm_scale=sm_scale,
+        key_mask_cols=None, mask=mask_ref[...],
+    ).astype(o_ref.dtype)
+
+
+def _feat_attn_kernel_im_masked(
+    x_ref,
+    mask_ref,
+    wqkv_ref,
+    wout_ref,
+    o_ref,
+    *,
+    h: int,
+    d: int,
+    t_real: int,
+    sm_scale: float,
+):
+    """Item-major per-MEMBER key-masked block (inference-only, no vjp):
+    mask_ref (1, t8) f32 0/1 for the grid cell's member (b is grid dim 0), so
+    cross-width batched members keep the fully-fused item-major pipeline."""
+    x = jnp.swapaxes(x_ref[0], 0, 1)  # (t8, R, e) -> (R, t8, e)
+    mask = jnp.broadcast_to(mask_ref[...], (x.shape[0], mask_ref.shape[-1]))
+    out = _feat_attn_fwd_core(
+        x, wqkv_ref, wout_ref, h=h, d=d, t_real=t_real, sm_scale=sm_scale,
+        key_mask_cols=None, mask=mask,
+    )
+    o_ref[0] = jnp.swapaxes(out, 0, 1).astype(o_ref.dtype)
+
+
 def _feat_attn_fwd_core(
-    x, wqkv_ref, wout_ref, *, h, d, t_real, sm_scale, key_mask_cols
+    x, wqkv_ref, wout_ref, *, h, d, t_real, sm_scale, key_mask_cols, mask=None
 ):
     R, t, e = x.shape
     if t_real < t:
@@ -300,7 +347,9 @@ def _feat_attn_fwd_core(
             q_h, k_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, t, t)
-        if key_mask_cols is not None:  # padded tokens never act as keys
+        if mask is not None:  # per-row key mask (host pads the t8 tail with 0)
+            s = jnp.where(mask[:, None, :] > 0, s, MASK_VALUE)
+        elif key_mask_cols is not None:  # padded tokens never act as keys
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             s = jnp.where(col < key_mask_cols, s, MASK_VALUE)
         mx = jnp.max(s, axis=-1, keepdims=True)
@@ -327,9 +376,14 @@ def _attn_fwd_call(
     w_out: jnp.ndarray,
     token_valid_count: int | None,
     block_rows: int,
+    key_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """x: (..., t, e); attention between the t tokens of each row, plus residual
-    and post-norm — one HBM read and one write of the activations."""
+    and post-norm — one HBM read and one write of the activations.
+
+    key_mask: optional per-row key mask, broadcastable to ``(*lead, t)``
+    (e.g. ``(b, 1, t)`` for per-member masks over (b, s, t, e) activations).
+    Inference-only — this path has no custom vjp."""
     lead = x.shape[:-2]
     t, e = x.shape[-2], x.shape[-1]
     _, h, d, _ = w_qkv.shape
@@ -346,6 +400,31 @@ def _attn_fwd_call(
     # stack projections head-major on the output dim: (3, h*d, e)
     wqkv2 = w_qkv.reshape(3, h * d, e).astype(x.dtype)
     wout2 = w_out.astype(x.dtype)  # (h, d, e)
+    if key_mask is not None:
+        # materialize (m, t8): per-row f32 0/1, tail columns zero so the
+        # kernel's OOB tail block never reads garbage mask values
+        km = jnp.broadcast_to(key_mask, (*lead, t)).reshape(m, t)
+        km8 = jnp.zeros((m, t8), jnp.float32).at[:, :t].set(km.astype(jnp.float32))
+        kernel = functools.partial(
+            _feat_attn_kernel_masked,
+            h=h, d=d, t_real=t, sm_scale=1.0 / math.sqrt(d),
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((m, t, e), x.dtype),
+            grid_spec=pl.GridSpec(
+                grid=(pl.cdiv(m, block_rows),),
+                in_specs=[
+                    pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
+                    pl.BlockSpec((block_rows, t8), lambda i: (i, 0)),
+                    pl.BlockSpec((3, h * d, e), lambda i: (0, 0, 0)),
+                    pl.BlockSpec((h, d, e), lambda i: (0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
+            ),
+            compiler_params=_compiler_params("parallel"),
+        )(x2, km8, wqkv2, wout2)
+        return out.reshape(*lead, t, e)
     kernel = functools.partial(
         _feat_attn_kernel,
         h=h,
@@ -377,17 +456,47 @@ def _attn_fwd_call_im(
     w_out: jnp.ndarray,
     token_valid_count: int | None,
     block_rows: int,
+    key_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Item-major variant: x (b, t, s, e) — the canonical layout of the fused
     training path, where the item-attention sublayer is transpose-free. Blocks
     a (t8, R, e) slab per grid cell and relayouts in VMEM (see
-    `_feat_attn_kernel_im`)."""
+    `_feat_attn_kernel_im`).
+
+    key_mask: optional (b, t) per-member key mask (inference-only, no vjp)."""
     b, t, s, e = x.shape
     _, h, d, _ = w_qkv.shape
     t8 = _round_up(t, 8)
     mask_cols = token_valid_count if token_valid_count is not None else t
     wqkv2 = w_qkv.reshape(3, h * d, e).astype(x.dtype)
     wout2 = w_out.astype(x.dtype)
+    if key_mask is not None:
+        km8 = jnp.zeros((b, t8), jnp.float32).at[:, :t].set(
+            key_mask.astype(jnp.float32)
+        )
+        kernel = functools.partial(
+            _feat_attn_kernel_im_masked,
+            h=h, d=d, t_real=t, sm_scale=1.0 / math.sqrt(d),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((b, t, s, e), x.dtype),
+            grid_spec=pl.GridSpec(
+                grid=(b, pl.cdiv(s, block_rows)),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, t8, block_rows, e), lambda bi, si: (bi, 0, si, 0)
+                    ),
+                    pl.BlockSpec((1, t8), lambda bi, si: (bi, 0)),
+                    pl.BlockSpec((3, h * d, e), lambda bi, si: (0, 0, 0)),
+                    pl.BlockSpec((h, d, e), lambda bi, si: (0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, t8, block_rows, e), lambda bi, si: (bi, 0, si, 0)
+                ),
+            ),
+            compiler_params=_compiler_params("parallel", "parallel"),
+        )(x, km8, wqkv2, wout2)
     kernel = functools.partial(
         _feat_attn_kernel_im,
         h=h,
@@ -1004,12 +1113,20 @@ def fused_feature_attention_ln_im(
     w_qkv: jnp.ndarray,
     w_out: jnp.ndarray,
     *,
+    key_mask: jnp.ndarray | None = None,
     block_rows: int = _ATTN_BLOCK_ROWS,
 ) -> jnp.ndarray:
     """Item-major `fused_feature_attention_ln`: x (b, t, s, e), attention over
     the t axis per (b, s) row. Used by the item-major encoder-layer path
     (`models/transformer.py::encoder_layer`) whose canonical activation layout
-    keeps the item-attention sublayer — the FLOPs majority — transpose-free."""
+    keeps the item-attention sublayer — the FLOPs majority — transpose-free.
+
+    key_mask: optional (b, t) per-member key mask (cross-width batched
+    inference; forward-only, no custom VJP)."""
+    if key_mask is not None:
+        return _attn_fwd_call_im(
+            x, w_qkv, w_out, None, block_rows, key_mask=key_mask
+        )
     return _fused_attn_ln_im_vjp(x, w_qkv, w_out, block_rows)
 
 
@@ -1019,14 +1136,21 @@ def fused_feature_attention_ln(
     w_out: jnp.ndarray,
     *,
     token_valid_count: int | None = None,
+    key_mask: jnp.ndarray | None = None,
     block_rows: int = _ATTN_BLOCK_ROWS,  # unrolled-head tiles stack in VMEM; 64 OOMs at t≈50
 ) -> jnp.ndarray:
     """LN(x + attn over the t feature tokens of each row), fused fwd+bwd.
 
     ``token_valid_count``: static count of valid leading tokens (None = all);
-    that inference-only variant has no custom VJP (the traced-mask training
-    variant used by cross-cell batched HPO stays on the XLA path).
+    ``key_mask``: per-row key mask broadcastable to ``(*lead, t)`` (cross-width
+    member batching). Both are inference-only variants with no custom VJP (the
+    traced-mask training variant used by cross-cell batched HPO stays on the
+    XLA path).
     """
+    if key_mask is not None:
+        return _attn_fwd_call(
+            x, w_qkv, w_out, None, block_rows, key_mask=key_mask
+        )
     if token_valid_count is not None:
         return _attn_fwd_call(x, w_qkv, w_out, token_valid_count, block_rows)
     return _fused_attn_ln_vjp(x, w_qkv, w_out, block_rows)

@@ -297,3 +297,54 @@ def test_item_major_feature_attention_matches_sample_major():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5
         )
+
+
+def test_masked_fused_attention_matches_xla_key_mask():
+    """Per-row key-masked fused forward (cross-width member batching) equals
+    the XLA path with the same mask, and equals running each member unpadded
+    at its own width."""
+    from multimodalpfn_tpu.models.transformer import _layer_norm
+    from multimodalpfn_tpu.ops.attention import self_attention
+    from multimodalpfn_tpu.ops.pallas_fused import fused_feature_attention_ln
+
+    rng = np.random.default_rng(1)
+    b, S, t, e, h, d = 3, 9, 13, 32, 4, 8
+    x = jnp.asarray(rng.normal(size=(b, S, t, e)), jnp.float32)
+    w_qkv = jnp.asarray(rng.normal(size=(3, h, d, e)) * 0.1, jnp.float32)
+    w_out = jnp.asarray(rng.normal(size=(h, d, e)) * 0.1, jnp.float32)
+    # per-member valid widths: member i keeps tokens [0, w_i) plus the last
+    # (y) token — a middle gap, not a prefix
+    widths = np.array([12, 8, 10])  # ≤ t-1: slot t-1 is the always-valid y token
+    mask_np = np.zeros((b, t), np.bool_)
+    for i, w in enumerate(widths):
+        mask_np[i, :w] = True
+        mask_np[i, -1] = True
+    key_mask = jnp.asarray(mask_np)
+
+    want = _layer_norm(
+        x
+        + self_attention(
+            x, w_qkv, w_out, compute_dtype=jnp.float32,
+            key_mask=key_mask[:, None, None, None, :],
+        )
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_feature_attention_ln(
+            x, w_qkv, w_out, key_mask=key_mask[:, None, :], block_rows=8
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-6, atol=3e-6
+    )
+    # valid token slots must also equal the unpadded per-member run
+    for i, w in enumerate(widths):
+        keep = np.r_[np.arange(w), t - 1]
+        xi = x[i : i + 1, :, keep, :]
+        want_i = _layer_norm(
+            xi + self_attention(xi, w_qkv, w_out, compute_dtype=jnp.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[i : i + 1, :, keep, :]),
+            np.asarray(want_i),
+            rtol=3e-6,
+            atol=3e-6,
+        )
