@@ -537,11 +537,26 @@ def _attn_fwd_call_im(
 # contribution vanish algebraically (du = 0 there), so no masks are needed.
 
 
-def _erf_gelu_grad(z: jnp.ndarray) -> jnp.ndarray:
-    """d/dz [0.5 z (1 + erf(z/sqrt(2)))] = 0.5(1+erf(z/sqrt2)) + z phi(z)."""
-    inv_sqrt2 = 1.0 / math.sqrt(2.0)
-    phi = jnp.exp(-0.5 * z * z) * (1.0 / math.sqrt(2.0 * math.pi))
-    return 0.5 * (1.0 + _erf(z * inv_sqrt2)) + z * phi
+def _erf_gelu_and_grad(z: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(gelu(z), gelu'(z)) sharing ONE erf polynomial and ONE exp.
+
+    gelu'(z) = 0.5(1+erf(z/sqrt2)) + z·phi(z), and the A-S erf evaluation's
+    internal exp(-(z/sqrt2)^2) = exp(-z^2/2) = sqrt(2π)·phi(z) — so the
+    backward's three exps + two poly chains collapse to one of each (the
+    VPU transcendental is the bound in the MLP backward, round-4 probe)."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    xs = z * (1.0 / math.sqrt(2.0))
+    ax = jnp.abs(xs)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    ex = jnp.exp(-ax * ax)  # = exp(-z^2/2)
+    erf_term = jnp.sign(xs) * (1.0 - poly * ex)
+    half1pe = 0.5 * (1.0 + erf_term)
+    phi = ex * (1.0 / math.sqrt(2.0 * math.pi))
+    return z * half1pe, half1pe + z * phi
 
 
 def _ln_rows_bwd(u32: jnp.ndarray, g32: jnp.ndarray, eps: float = 1e-5):
@@ -574,7 +589,7 @@ def _mlp_bwd_kernel(
     z = _dot_g(
         x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (R, H)
-    gz = _erf_gelu(z)
+    gz, gz_grad = _erf_gelu_and_grad(z)
     u32 = x.astype(jnp.float32) + _dot_g(
         gz.astype(x.dtype), w2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -584,7 +599,7 @@ def _mlp_bwd_kernel(
     dh = _dot_g(
         du_c, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (R, H)
-    dz = dh * _erf_gelu_grad(z)
+    dz = dh * gz_grad
     dz_c = dz.astype(x.dtype)
     dx = du + _dot_g(
         dz_c, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -627,7 +642,7 @@ def _mlp_bwd_kernel_g(
     z = _dot_g(
         x, w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    gz = _erf_gelu(z)
+    gz, gz_grad = _erf_gelu_and_grad(z)
     u32 = x.astype(jnp.float32) + _dot_g(
         gz.astype(x.dtype), w2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -637,7 +652,7 @@ def _mlp_bwd_kernel_g(
     dh = _dot_g(
         du_c, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dz = dh * _erf_gelu_grad(z)
+    dz = dh * gz_grad
     dz_c = dz.astype(x.dtype)
     dx = du + _dot_g(
         dz_c, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
