@@ -472,6 +472,8 @@ def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
     ntr = int(len(X) * 0.8)
 
     def run(seed: int) -> tuple[float, list[float]]:
+        from multimodalpfn_tpu.train.snapshots import wait_for_pending_snapshots
+
         with tempfile.TemporaryDirectory() as td:
             t0 = time.time()
             hist = fine_tune_mmpfn(
@@ -489,7 +491,13 @@ def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
                 freeze_input=True,
                 logger_level=30,
             )
-            return time.time() - t0, hist.get("step_seconds", [])
+            wall = time.time() - t0
+            # the protocol's deliverable (best torch-format model) is flushed
+            # before fine_tune returns; the extra orbax final-state artifact
+            # drains in the background — join it AFTER the wall (an HPO
+            # driver regains control at return) and before the tempdir dies
+            wait_for_pending_snapshots()
+            return wall, hist.get("step_seconds", [])
 
     wall_cold, _ = run(0)
     # best-of-2 for the warm wall: the axon relay occasionally stalls a host

@@ -57,13 +57,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _compiler_params(*semantics: str):
+def _compiler_params(*semantics: str, vmem_limit_mb: int | None = None):
     """CompilerParams with dimension semantics — except under the TPU
     interpreter, where they are omitted: the interpreter (unlike the real
     Mosaic lowering, which tracks vmap-added grid dims separately via
     ``grid_mapping.vmapped_dims``) zips user semantics against the FULL grid
     and crashes when vmap has prepended a batch dim. Semantics only steer
-    scheduling, never results, so interpret-mode tests lose nothing."""
+    scheduling, never results, so interpret-mode tests lose nothing.
+
+    vmem_limit_mb raises Mosaic's default 16 MB scoped-VMEM budget (v5e has
+    128 MB physical) for kernels whose working set at the chosen block size
+    exceeds it — used by the attention backward at block 32."""
     try:
         from jax._src import config as _jax_config
 
@@ -75,7 +79,10 @@ def _compiler_params(*semantics: str):
         interpret = False
     if interpret:
         return None
-    return pltpu.CompilerParams(dimension_semantics=semantics)
+    kw = {}
+    if vmem_limit_mb is not None:
+        kw["vmem_limit_bytes"] = vmem_limit_mb * 1024 * 1024
+    return pltpu.CompilerParams(dimension_semantics=semantics, **kw)
 
 
 def _ln_rows(x32: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -1024,8 +1031,10 @@ def _attn_bwd_call(x, w_qkv, w_out, g, block_rows: int):
                 pl.BlockSpec((h, d, e), lambda i: (0, 0, 0)),
             ),
         ),
-        # sequential grid: dw accumulates across blocks
-        compiler_params=_compiler_params("arbitrary"),
+        # sequential grid: dw accumulates across blocks; block 32's working
+        # set (per-head p/o tiles + recompute temporaries) needs > the 16 MB
+        # default scoped VMEM (block sweep: 6.92 -> 6.57 ms f+b per layer-G4)
+        compiler_params=_compiler_params("arbitrary", vmem_limit_mb=100),
     )(x2, g2, wqkv2, wout2)
     dx = dx.reshape(x.shape)
     return dx, dwqkv.reshape(w_qkv.shape).astype(w_qkv.dtype), dwout.astype(w_out.dtype)
@@ -1064,8 +1073,11 @@ def _attn_bwd_call_im(x, w_qkv, w_out, g, block_rows: int):
                 pl.BlockSpec((h, d, e), lambda bi, si: (0, 0, 0)),
             ),
         ),
-        # sequential grid: dw accumulates across blocks
-        compiler_params=_compiler_params("arbitrary", "arbitrary"),
+        # sequential grid: dw accumulates across blocks; 100 MB scoped VMEM
+        # for the block-32 working set (see _attn_bwd_call)
+        compiler_params=_compiler_params(
+            "arbitrary", "arbitrary", vmem_limit_mb=100
+        ),
     )(x, g, wqkv2, wout2)
     return (
         dx,
@@ -1087,10 +1099,13 @@ def _fused_attn_ln_fwd(x, w_qkv, w_out, block_rows):
 
 
 # The backward holds every head's p/o tile plus the recompute temporaries
-# concurrently (Mosaic stack-allocates unrolled iterations separately), so it
-# runs at half the forward's row block to stay inside the 16 MB scoped-VMEM
-# limit (measured: block 32 at t8=32 overflows by ~300 KB).
-_ATTN_BWD_BLOCK_ROWS = 16
+# concurrently (Mosaic stack-allocates unrolled iterations separately); block
+# 32 overflows the DEFAULT 16 MB scoped-VMEM limit by ~300 KB, so the bwd
+# calls raise the limit to 100 MB (v5e has 128 physical) and run block 32:
+# per-cell fixed overhead (6-head unrolled tiny-dot chains, relayouts, LN)
+# amortizes over twice the rows (block sweep probe: bwd 6.3 -> 5.8 ms per
+# layer-G4 at the n=4 sweep shape).
+_ATTN_BWD_BLOCK_ROWS = 32
 
 
 def _fused_attn_ln_bwd(block_rows, res, g):

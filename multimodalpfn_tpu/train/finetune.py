@@ -47,7 +47,10 @@ from multimodalpfn_tpu.train.data import EpisodeSampler
 from multimodalpfn_tpu.train.early_stopping import AdaptiveES
 from multimodalpfn_tpu.train.losses import get_loss_fn
 from multimodalpfn_tpu.train.metrics import get_scorer
-from multimodalpfn_tpu.train.snapshots import AsyncSnapshotWriter
+from multimodalpfn_tpu.train.snapshots import (
+    AsyncSnapshotWriter,
+    submit_final_write,
+)
 from multimodalpfn_tpu.train.step import (
     eval_params,
     frozen_input_mask,
@@ -278,16 +281,30 @@ def fine_tune_mmpfn(
         **(finetuning_config or {}),
     }
 
-    t_phase = time.time()
-    loaded = initialize_model(
-        model_path=path_to_base_model,
-        which="classifier" if is_classification else "regressor",
-        static_seed=random_seed,
-        mixer_type=mixer_type if image_train is not None else "none",
-        mgm_heads=mgm_heads,
-        cap_heads=cap_heads,
-        features_per_group=features_per_group,
+    # Short protocol runs are compile-dominated; resolve the lowered-effort
+    # default up front (full rationale at the loop below) so the one-shot
+    # programs dispatched during setup (random init) compile cheaply too.
+    persistent_cache_on = bool(
+        os.environ.get("MMPFN_JAX_CACHE_DIR")
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     )
+    protocol_effort = resolve_compile_effort(
+        -0.5
+        if int(cfg_hp["max_steps"]) <= 10_000 and not persistent_cache_on
+        else None
+    )
+
+    t_phase = time.time()
+    with compile_effort_scope(protocol_effort):
+        loaded = initialize_model(
+            model_path=path_to_base_model,
+            which="classifier" if is_classification else "regressor",
+            static_seed=random_seed,
+            mixer_type=mixer_type if image_train is not None else "none",
+            mgm_heads=mgm_heads,
+            cap_heads=cap_heads,
+            features_per_group=features_per_group,
+        )
     phase_seconds["model_init"] = time.time() - t_phase
     cfg = loaded.config
     on_accel = jax.devices()[0].platform not in ("cpu",)
@@ -460,15 +477,7 @@ def fine_tune_mmpfn(
     # The scope covers exactly the dispatches that compile the protocol's
     # programs; nothing else in the process is affected. MMPFN_COMPILE_EFFORT
     # overrides in both directions ("0" forces XLA's default everywhere).
-    persistent_cache_on = bool(
-        os.environ.get("MMPFN_JAX_CACHE_DIR")
-        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    )
-    protocol_effort = resolve_compile_effort(
-        -0.5
-        if int(cfg_hp["max_steps"]) <= 10_000 and not persistent_cache_on
-        else None
-    )
+    # (protocol_effort is resolved before model init, above.)
 
     # In non-inline mode two programs exist (standalone validation + train
     # step); overlap their compiles: a throwaway step on a COPIED state (the
@@ -583,6 +592,7 @@ def fine_tune_mmpfn(
         history["step_seconds"].append(time.time() - p_t)
         return use_early_stopping and stop
 
+    last_eval: tuple[int | None, Any] = (None, None)
     for step_i in range(start_step + 1, int(cfg_hp["max_steps"]) + 1):
         t_iter = time.time()
         if time.time() - st_time > time_limit:
@@ -597,6 +607,10 @@ def fine_tune_mmpfn(
                 state, idx["train_idx"], idx["test_idx"], sub, 1.0,
                 val_data, feat_noise,
             )
+            # the fused program already emitted this step's eval params; the
+            # final orbax snapshot reuses the LAST one (no standalone
+            # eval_params program ever compiles in inline mode)
+            last_eval = (step_i, p_eval_dev)
             if process_result(
                 (step_i, t_iter, metrics, val_logits_dev, p_eval_dev)
             ):
@@ -659,16 +673,30 @@ def fine_tune_mmpfn(
     if write_errors:
         history["snapshot_write_errors"] = write_errors
     phase_seconds["final_snapshot_flush"] = time.time() - t_phase
-    # orbax-native snapshot of the final state alongside the torch-format best
+    # orbax-native snapshot of the final state alongside the torch-format
+    # best — fire-and-forget: its device->host fetch is ~30 s over the remote
+    # link and the artifact is crash-resilience beyond the reference's
+    # deliverable, so the protocol wall does not wait on it (interpreter exit
+    # does; immediate reloaders call snapshots.wait_for_pending_snapshots())
     t_phase = time.time()
-    save_native(
-        str(save_path) + ".orbax",
-        eval_params(state, is_sf),
-        cfg,
-        best_val_error=float(best_err),
-        steps=float(history["steps"]),
+    if last_eval[0] is not None and last_eval[0] == history["steps"]:
+        # inline mode: the last fused step already emitted eval params
+        p_final = last_eval[1]
+    else:
+        with compile_effort_scope(protocol_effort):
+            p_final = eval_params(state, is_sf)  # device-side
+    n_steps_final = float(history["steps"])
+    submit_final_write(
+        lambda: save_native(
+            str(save_path) + ".orbax",
+            p_final,
+            cfg,
+            best_val_error=float(best_err),
+            steps=n_steps_final,
+        ),
+        name="mmpfn-final-orbax",
     )
-    phase_seconds["final_native_snapshot"] = time.time() - t_phase
+    phase_seconds["final_native_snapshot_submit"] = time.time() - t_phase
     history["wall_s"] = time.time() - st_time
     history["phase_seconds"] = phase_seconds
     return history

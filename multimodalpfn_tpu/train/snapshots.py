@@ -68,3 +68,51 @@ class AsyncSnapshotWriter:
         self._thread.join()
         if self._error is not None:
             raise self._error
+
+
+# ---------------------------------------------------------------------------
+# Fire-and-forget final artifacts.
+#
+# The protocol's deliverable (the best torch-format model, reference
+# `finetune_mmpfn_main.py:440-450`) is synchronously flushed before
+# fine_tune_mmpfn returns. The EXTRA orbax final-state artifact's
+# device->host fetch costs ~30 s over a remote-accelerator link, so it is
+# written by a NON-daemon background thread: the call returns immediately and
+# interpreter exit still joins the thread (no torn files). Callers that
+# reload the artifact right away call wait_for_pending_snapshots().
+
+_final_threads: list[threading.Thread] = []
+_final_errors: list[BaseException] = []
+_final_lock = threading.Lock()
+
+
+def submit_final_write(write_fn: Callable[[], None], name: str) -> None:
+    """Run write_fn on a non-daemon background thread; errors are logged and
+    surfaced by wait_for_pending_snapshots()."""
+
+    def run() -> None:
+        try:
+            write_fn()
+        except BaseException as e:  # pragma: no cover - io/link failures
+            with _final_lock:
+                _final_errors.append(e)
+
+    t = threading.Thread(target=run, name=name, daemon=False)
+    with _final_lock:
+        # opportunistically drop finished threads so HPO sweeps don't grow
+        _final_threads[:] = [x for x in _final_threads if x.is_alive()]
+        _final_threads.append(t)
+    t.start()
+
+
+def wait_for_pending_snapshots() -> None:
+    """Join all pending final-artifact writes; re-raise the first error."""
+    with _final_lock:
+        threads = list(_final_threads)
+    for t in threads:
+        t.join()
+    with _final_lock:
+        if _final_errors:
+            err = _final_errors[0]
+            _final_errors.clear()
+            raise err

@@ -78,15 +78,21 @@ def make_optimizer(
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
+@jax.jit
+def _schedule_free_eval_jit(opt_state, params):
+    return optax.contrib.schedule_free_eval_params(opt_state, params)
+
+
 def eval_params(state: TrainState, tx_is_schedule_free: bool = True):
     """Schedule-free optimizers evaluate at the x-sequence, not the y-iterate
     (reference uses AdamWScheduleFree's optimizer.eval() mode). Jitted as one
     program — the per-leaf interpolation would otherwise run as ~40 separate
-    eagerly-compiled ops per validation."""
+    eagerly-compiled ops per call (measured 72 s for the FIRST call over the
+    remote link, round-4 cold-phase probe)."""
     if not tx_is_schedule_free:
         return state.params
     try:
-        return optax.contrib.schedule_free_eval_params(state.opt_state, state.params)
+        return _schedule_free_eval_jit(state.opt_state, state.params)
     except Exception:
         return state.params
 

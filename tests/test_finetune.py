@@ -79,10 +79,13 @@ def test_finetune_freezes_input_encoders(tiny_ckpt, tmp_path):
         X_train=X, y_train=y, random_seed=0, freeze_input=True,
     )
     from multimodalpfn_tpu.models.loading import load_model, load_native
+    from multimodalpfn_tpu.train.snapshots import wait_for_pending_snapshots
 
     base = load_model(tiny_ckpt, mixer_type="none").params
     # the orbax snapshot holds the final trained state unconditionally (the
-    # torch-format file is best-by-validation, as in the reference)
+    # torch-format file is best-by-validation, as in the reference); it is
+    # written fire-and-forget, so an immediate reload joins the writer first
+    wait_for_pending_snapshots()
     tuned, _cfg, extras = load_native(str(out) + ".orbax")
     np.testing.assert_array_equal(np.asarray(base["encoder"]["w"]), tuned["encoder"]["w"])
     np.testing.assert_array_equal(np.asarray(base["y_encoder"]["w"]), tuned["y_encoder"]["w"])

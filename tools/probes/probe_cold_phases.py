@@ -45,7 +45,10 @@ def main():
             random_seed=0,
             logger_level=30,
         )
-    wall = time.time() - t0
+        wall = time.time() - t0
+        from multimodalpfn_tpu.train.snapshots import wait_for_pending_snapshots
+
+        wait_for_pending_snapshots()  # before the tempdir dies; after the wall
     ss = hist["step_seconds"]
     print(json.dumps({
         "wall_s": round(wall, 1),
