@@ -95,7 +95,7 @@ for fb, bb, vm in CONFIGS:
     if vm is None:
         pf._compiler_params = orig_cp
     else:
-        def patched(*sem, _vm=vm):
+        def patched(*sem, _vm=vm, **kw):  # kw: production's vmem_limit_mb
             return pltpu.CompilerParams(
                 dimension_semantics=sem, vmem_limit_bytes=_vm * 1024 * 1024
             )
