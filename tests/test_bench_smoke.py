@@ -10,12 +10,14 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import bench
 
 
+@pytest.mark.slow  # 51 s: bench sweep program on CPU
 def test_sweep_metrics_smoke():
     m = bench.sweep_metrics(
         n_runs=2,

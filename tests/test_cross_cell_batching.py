@@ -146,6 +146,8 @@ def _tiny_ckpt(tmp_path, cap=2):
     return path
 
 
+@pytest.mark.slow  # 85 s: e2e batched-vs-per-cell; the padded-masked
+# forward parity tests above cover the kernel math in the fast set
 def test_cells_batched_matches_per_cell_runs(tmp_path):
     """Two grid cells with DIFFERENT mgm_heads × 2 seeds each advance in ONE
     vmapped stream; per-cell histories and final mixer params must match the
@@ -205,6 +207,7 @@ def test_cells_batched_matches_per_cell_runs(tmp_path):
         )
 
 
+@pytest.mark.slow  # 33 s: experiment-driver e2e over the same path
 def test_run_experiment_cross_cell(tmp_path):
     """Grid driver: 2x1 grid (+1 pruned cell) x 2 seeds through the cross-cell
     stream, per-cell accuracies recorded as separate trials."""

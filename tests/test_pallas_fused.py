@@ -117,6 +117,8 @@ def test_fused_backward_matches_xla_grads():
             )
 
 
+@pytest.mark.slow  # 56 s: full-layer grad parity; the per-kernel backward
+# and vmapped-grad tests cover the fused VJPs in the fast set
 def test_train_forward_grads_fused_vs_xla():
     """Whole-model value_and_grad with cfg.fused_ops vs the XLA path (no remat:
     interpret mode cannot partial-eval the Pallas callback effects under
