@@ -49,13 +49,19 @@ def make_optimizer(
     max_grad_norm: float = 1.0,
     optimizer: str = "schedule_free_adamw",
     freeze_mask: dict | None = None,
-    warmup_steps: int = 0,
+    warmup_steps: int | None = None,
     skip_nonfinite_updates: bool = True,
     max_consecutive_nonfinite: int = 100,
 ) -> optax.GradientTransformation:
     if optimizer == "schedule_free_adamw":
+        # warmup_steps semantics differ between the reference's torch
+        # `schedulefree.AdamWScheduleFree` (0 = no warmup, full lr at step 1 —
+        # its default, used by `finetune_mmpfn_main.py:731`) and optax's
+        # `schedule_free_adamw` (0 builds warmup_constant_schedule(0, lr, 0)
+        # == linear_schedule with transition_steps=0 == CONSTANT ZERO lr —
+        # silently a no-op optimizer). Normalize 0 -> None (no schedule).
         tx = optax.contrib.schedule_free_adamw(
-            learning_rate, warmup_steps=warmup_steps
+            learning_rate, warmup_steps=warmup_steps or None
         )
     elif optimizer == "adamw":
         tx = optax.adamw(learning_rate)
@@ -77,24 +83,72 @@ def make_optimizer(
     return tx
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+def _find_schedule_free_state(node):
+    """Exception-free structural search for the ScheduleFreeState anywhere in
+    the optimizer-state tree — apply_if_finite / multi_transform / masked wrap
+    it, and `optax.contrib.schedule_free_eval_params` RAISES on the wrappers
+    (it getattr's b1/z on the top-level state). A plain host-side walk:
+    eval_params is also called INSIDE jit traces, where a try/except around a
+    raising nested call leaks tracers (observed as UnexpectedTracerError on
+    the NEXT fine-tune's trace in one process, round 4)."""
+    if isinstance(node, tuple) and hasattr(node, "_fields"):
+        if "z" in node._fields and "weight_sum" in node._fields:
+            return node
+        for c in node:
+            r = _find_schedule_free_state(c)
+            if r is not None:
+                return r
+        return None
+    if isinstance(node, (list, tuple)):
+        for c in node:
+            r = _find_schedule_free_state(c)
+            if r is not None:
+                return r
+        return None
+    if isinstance(node, dict):
+        for v in node.values():
+            r = _find_schedule_free_state(v)
+            if r is not None:
+                return r
+    return None
+
+
+def _is_masked_node(n) -> bool:
+    return type(n).__name__ == "MaskedNode"
+
+
 @jax.jit
 def _schedule_free_eval_jit(opt_state, params):
-    return optax.contrib.schedule_free_eval_params(opt_state, params)
+    """x-sequence from the stored y-iterate: x = (y - (1-b1) z) / b1
+    (optax `_schedule_free.py:43-53`). Frozen leaves (multi_transform mask)
+    have MaskedNode placeholders in z and evaluate at the param itself.
+    b1 is a scalar for a single run but carries a leading runs axis when the
+    state was built under vmap (train/finetune_batch.py) — broadcast it
+    LEFT-aligned against each leaf."""
+    sf = _find_schedule_free_state(opt_state)  # structure is static under jit
+    b1, z = jnp.asarray(sf.b1), sf.z
+
+    def interp(zi, y):
+        if _is_masked_node(zi):
+            return y
+        b = b1.reshape(b1.shape + (1,) * (y.ndim - b1.ndim))
+        return (y - (1.0 - b) * zi) / b
+
+    return jax.tree.map(interp, z, params, is_leaf=_is_masked_node)
 
 
 def eval_params(state: TrainState, tx_is_schedule_free: bool = True):
     """Schedule-free optimizers evaluate at the x-sequence, not the y-iterate
-    (reference uses AdamWScheduleFree's optimizer.eval() mode). Jitted as one
-    program — the per-leaf interpolation would otherwise run as ~40 separate
-    eagerly-compiled ops per call (measured 72 s for the FIRST call over the
-    remote link, round-4 cold-phase probe)."""
+    (reference uses AdamWScheduleFree's optimizer.eval() mode; the torch side
+    calls optimizer.eval() before every validation/save,
+    `finetune_mmpfn_main.py`). Jitted as one program — the per-leaf
+    interpolation would otherwise run as ~40 separate eagerly-compiled ops per
+    call (measured 72 s for the FIRST call over the remote link)."""
     if not tx_is_schedule_free:
         return state.params
-    try:
-        return _schedule_free_eval_jit(state.opt_state, state.params)
-    except Exception:
+    if _find_schedule_free_state(state.opt_state) is None:
         return state.params
+    return _schedule_free_eval_jit(state.opt_state, state.params)
 
 
 def make_train_step(

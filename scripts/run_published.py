@@ -148,6 +148,14 @@ def eval_config(
                 persist = Path(persist_name)
                 shutil.copy(save_path, persist)
                 model_path = persist
+                # fine_tune_mmpfn's final orbax snapshot is written
+                # fire-and-forget INTO this tempdir; joining here keeps the
+                # context's rmtree from racing the background writer
+                from multimodalpfn_tpu.train.snapshots import (
+                    wait_for_pending_snapshots,
+                )
+
+                wait_for_pending_snapshots()
 
         no_preproc = ModelInterfaceConfig(
             FINGERPRINT_FEATURE=False,

@@ -179,32 +179,61 @@ def test_cells_batched_matches_per_cell_runs(tmp_path):
     only_a = fine_tune_batched_cells(cells=[cell_a], **common)
     only_b = fine_tune_batched_cells(cells=[cell_b], **common)
 
-    # per-run validation-error histories separate cleanly per cell
+    # per-run validation-error histories separate cleanly per cell.
+    # Tolerance: the two streams compile DIFFERENTLY-PADDED programs (mgm
+    # 2 -> max(2,4) vs true shapes), whose f32 reduction-order noise feeds
+    # back through three real optimizer steps — ~3e-4 observed once the
+    # schedule-free lr bug was fixed and training actually moves params.
     for step_err_both, step_err_a in zip(
         both["history"]["val_error"], only_a["history"]["val_error"]
     ):
         np.testing.assert_allclose(
-            step_err_both[1][:2], step_err_a[1], rtol=1e-4, atol=1e-5
+            step_err_both[1][:2], step_err_a[1], rtol=2e-3, atol=1e-4
         )
     for step_err_both, step_err_b in zip(
         both["history"]["val_error"], only_b["history"]["val_error"]
     ):
         np.testing.assert_allclose(
-            step_err_both[1][2:], step_err_b[1], rtol=1e-4, atol=1e-5
+            step_err_both[1][2:], step_err_b[1], rtol=2e-3, atol=1e-4
         )
 
-    # final params of each run match the single-cell stream at the TRUE shape
+    # Final params: schedule-free Adam updates are ~sign(g)·lr, so on
+    # near-zero-grad elements (the tiny ckpt zero-inits attention out
+    # projections) reduction-order noise between the differently-padded
+    # programs legitimately flips update signs — per-element divergence up to
+    # ~2·steps·lr is correct behavior, not leakage. Two-part pin instead:
+    # (1) at real lr, the streams stay inside that sign-flip envelope;
+    # (2) at lr≈0 (no optimizer amplification) the streams agree to f64-level
+    #     — the discriminating check for cross-run leakage / masking /
+    #     extraction bugs (measured 4e-17).
+    envelope = 2 * 3 * 1e-3 * 1.25
     for r_both, r_single, single in ((0, 0, only_a), (2, 0, only_b)):
         p_b, cfg_b = extract_run_params(both, r_both)
         p_s, cfg_s = extract_run_params(single, r_single)
         assert cfg_b.mixer.mgm_heads == cfg_s.mixer.mgm_heads
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+                np.asarray(a), np.asarray(b), rtol=0, atol=envelope
             ),
             p_b["mixer"],
             p_s["mixer"],
         )
+
+    common_lr0 = dict(common)
+    common_lr0["finetuning_config"] = {
+        "max_steps": 3, "validate_every_n_steps": 3, "learning_rate": 1e-12,
+    }
+    both0 = fine_tune_batched_cells(cells=[cell_a, cell_b], **common_lr0)
+    only0 = fine_tune_batched_cells(cells=[cell_a], **common_lr0)
+    p_b0, _ = extract_run_params(both0, 0)
+    p_s0, _ = extract_run_params(only0, 0)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-9
+        ),
+        p_b0["mixer"],
+        p_s0["mixer"],
+    )
 
 
 @pytest.mark.slow  # 33 s: experiment-driver e2e over the same path
