@@ -27,6 +27,7 @@ fit+predict epochs with identical shapes (compile-cached, as in production reuse
 from __future__ import annotations
 
 import json
+import os
 import tempfile
 import time
 from pathlib import Path
@@ -513,6 +514,51 @@ def finetune_protocol_seconds(X, emb, y) -> tuple[float, float, float]:
     return wall_cold, min(wall_warm, wall_warm2), steady, [wall_warm, wall_warm2]
 
 
+def finetune_steady_full_effort_s(X, emb, y, n_steps: int = 30) -> float:
+    """Steady-state s/step with the compile-effort knob OFF (XLA default
+    effort), so the -0.5 default's measured +11% steady cost stays visible
+    next to `finetune_steady_s_per_step` in the driver JSON (round-3 verdict
+    ask). Pays one full-effort compile of the fused step+val program."""
+    from multimodalpfn_tpu.train import finetune as _ft
+    from multimodalpfn_tpu.train.finetune import fine_tune_mmpfn
+
+    _ft._PROGRAM_CACHE.clear()  # memoized programs were compiled at -0.5
+    prev = os.environ.get("MMPFN_COMPILE_EFFORT")
+    os.environ["MMPFN_COMPILE_EFFORT"] = "0"
+    ntr = int(len(X) * 0.8)
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            hist = fine_tune_mmpfn(
+                mixer_type="MGM+CAP",
+                mgm_heads=BENCH_MGM,
+                cap_heads=BENCH_CAP,
+                features_per_group=1,
+                save_path_to_fine_tuned_model=Path(td) / "ft.ckpt",
+                path_to_base_model="random:0",
+                finetuning_config={
+                    "max_steps": n_steps, "validate_every_n_steps": 1,
+                },
+                X_train=X[:ntr],
+                image_train=emb[:ntr],
+                y_train=y[:ntr],
+                random_seed=3,
+                freeze_input=True,
+                logger_level=30,
+            )
+            from multimodalpfn_tpu.train.snapshots import (
+                wait_for_pending_snapshots,
+            )
+
+            wait_for_pending_snapshots()
+        return float(np.median(hist.get("step_seconds", [])[5:]))
+    finally:
+        if prev is None:
+            os.environ.pop("MMPFN_COMPILE_EFFORT", None)
+        else:
+            os.environ["MMPFN_COMPILE_EFFORT"] = prev
+        _ft._PROGRAM_CACHE.clear()  # full-effort programs must not leak
+
+
 def _probe_backend(timeout_s: int = 240) -> str | None:
     """Fail fast when the accelerator is unreachable: backend init over a dead
     tunnel blocks indefinitely, which would hang the whole bench. Probe in a
@@ -616,6 +662,13 @@ def main() -> None:
         # steady-state = step + validation + episode sampling, compile excluded
         extra["finetune_steady_s_per_step"] = round(steady, 3)
         extra["finetune_steady_vs_reference_gpu"] = round(1.676 / steady, 2)
+        try:
+            steady_full = finetune_steady_full_effort_s(X, emb, y)
+            extra["finetune_steady_full_effort_s_per_step"] = round(
+                steady_full, 3
+            )
+        except Exception as e:  # pragma: no cover
+            extra["finetune_steady_full_effort_error"] = repr(e)[:200]
     except Exception as e:  # pragma: no cover
         extra["finetune_error"] = repr(e)[:200]
 

@@ -567,6 +567,28 @@ def fine_tune_mmpfn(
     # (0.37 vs 0.22 s/step, reproducible A/B) — the relay serializes transfers
     # behind queued compute, so the "overlapped" fetch just waits out the next
     # step. The loop therefore fetches synchronously each iteration.
+    # Best-snapshot cadence: now that training actually improves validation
+    # on MOST steps (post lr fix), submitting every improvement makes the
+    # writer thread do back-to-back device fetches + torch.save serialization
+    # on the single host core, starving the training loop (measured 0.2 ->
+    # 1.68 s/step on the 1-validation-per-step protocol). The best params are
+    # instead HELD as a device-side copy (one buffer set of HBM, ~free) and
+    # the writer is fed at a time cadence; the final best is always flushed
+    # at drain, so the on-disk contract (reference
+    # `finetune_mmpfn_main.py:440-450`: best-by-validation) is unchanged —
+    # mid-run writes are crash resilience only.
+    snap_interval_s = float(os.environ.get("MMPFN_SNAPSHOT_INTERVAL_S", "60"))
+    best_snap: list = [None]  # device-side copy of the best eval params
+    best_submitted: list = [None]  # identity of the last payload submitted
+    last_snap_t = [time.time()]
+
+    def record_best(p_eval_dev) -> None:
+        best_snap[0] = _snap_copy(p_eval_dev)
+        if time.time() - last_snap_t[0] >= snap_interval_s:
+            snap_writer.submit(best_snap[0])
+            best_submitted[0] = best_snap[0]
+            last_snap_t[0] = time.time()
+
     def process_result(res: tuple) -> bool:
         """Fetch + score one step's device results; returns True to early-stop."""
         nonlocal best_err
@@ -584,7 +606,7 @@ def fine_tune_mmpfn(
         if is_best:
             best_err = err
             history["best_val_error"] = err
-            snap_writer.submit(_snap_copy(p_eval_dev))
+            record_best(p_eval_dev)
         if pbar is not None:
             pbar.update(1)
             pbar.set_postfix(loss=f"{loss:.4f}", best_val=f"{best_err:.4f}")
@@ -646,7 +668,7 @@ def fine_tune_mmpfn(
             if is_best:
                 best_err = err
                 history["best_val_error"] = err
-                snap_writer.submit(_snap_copy(p_eval))
+                record_best(p_eval)
             stop = es.update(cur_round=step_i, is_best=is_best)
             if use_early_stopping and stop:
                 history["step_seconds"].append(time.time() - t_iter)
@@ -663,6 +685,10 @@ def fine_tune_mmpfn(
     # final orbax snapshot below is still attempted (a caller can recover the
     # best weights from it: it holds the final state + best_val_error).
     t_phase = time.time()
+    # the throttled cadence may have skipped the final best — flush it now so
+    # close() writes it (close drains the latest pending payload)
+    if best_snap[0] is not None and best_snap[0] is not best_submitted[0]:
+        snap_writer.submit(best_snap[0])
     write_errors: list[str] = []
     for writer in (snap_writer, state_writer):
         try:
