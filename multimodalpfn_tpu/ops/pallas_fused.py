@@ -313,10 +313,18 @@ def _feat_attn_kernel_im_masked(
     sm_scale: float,
 ):
     """Item-major per-MEMBER key-masked block (inference-only, no vjp):
-    mask_ref (1, t8) f32 0/1 for the grid cell's member (b is grid dim 0), so
-    cross-width batched members keep the fully-fused item-major pipeline."""
+    mask_ref is the FULL (b, t8) f32 0/1 mask table (b is tiny — the member
+    count), replicated to every grid cell because Mosaic rejects a (1, t8)
+    block over a (b, t8) array (second-minor block dim must be 8-divisible or
+    equal to the array dim). The cell's member row is selected in-kernel with
+    an iota compare + sum — a few-lane VPU op. Keeps cross-width batched
+    members on the fully-fused item-major pipeline."""
     x = jnp.swapaxes(x_ref[0], 0, 1)  # (t8, R, e) -> (R, t8, e)
-    mask = jnp.broadcast_to(mask_ref[...], (x.shape[0], mask_ref.shape[-1]))
+    bi = pl.program_id(0)
+    full = mask_ref[...]  # (b, t8)
+    rows = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
+    mask_row = jnp.sum(jnp.where(rows == bi, full, 0.0), axis=0)  # (t8,)
+    mask = jnp.broadcast_to(mask_row[None, :], (x.shape[0], full.shape[-1]))
     out = _feat_attn_fwd_core(
         x, wqkv_ref, wout_ref, h=h, d=d, t_real=t_real, sm_scale=sm_scale,
         key_mask_cols=None, mask=mask,
@@ -429,7 +437,10 @@ def _attn_fwd_call(
                 ],
                 out_specs=pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
             ),
-            compiler_params=_compiler_params("parallel"),
+            # f32 (parity-mode) working sets at t8≈48 exceed the default 16 MB
+            # scoped-VMEM budget (~17.2 MB measured on v5e); raising the limit
+            # is perf-neutral at these block sizes (probe_vmem_limit_ab.py)
+            compiler_params=_compiler_params("parallel", vmem_limit_mb=64),
         )(x2, km8, wqkv2, wout2)
         return out.reshape(*lead, t, e)
     kernel = functools.partial(
@@ -494,7 +505,8 @@ def _attn_fwd_call_im(
                     pl.BlockSpec(
                         (1, t8, block_rows, e), lambda bi, si: (bi, 0, si, 0)
                     ),
-                    pl.BlockSpec((1, t8), lambda bi, si: (bi, 0)),
+                    # full mask table to every cell (see kernel docstring)
+                    pl.BlockSpec((b, t8), lambda bi, si: (0, 0)),
                     pl.BlockSpec((3, h * d, e), lambda bi, si: (0, 0, 0)),
                     pl.BlockSpec((h, d, e), lambda bi, si: (0, 0, 0)),
                 ],
@@ -502,7 +514,10 @@ def _attn_fwd_call_im(
                     (1, t8, block_rows, e), lambda bi, si: (bi, 0, si, 0)
                 ),
             ),
-            compiler_params=_compiler_params("parallel", "parallel"),
+            # see the row-major masked branch: f32 parity-mode needs >16 MB
+            compiler_params=_compiler_params(
+                "parallel", "parallel", vmem_limit_mb=64
+            ),
         )(x, km8, wqkv2, wout2)
     kernel = functools.partial(
         _feat_attn_kernel_im,
