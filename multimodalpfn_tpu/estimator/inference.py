@@ -108,9 +108,54 @@ def _mixer_token_count(mx, n_img_patches: int) -> int:
     return mx.mgm_heads * n_img_patches
 
 
-# merged cross-width groups waste compute on padded columns; above this
-# relative padding the split same-width groups win
-_MERGE_PAD_LIMIT = 0.25
+# --- cross-width merge decision: measured device-cost model (round 5) ------
+# Calibrated on v5e at the bench predict shape (tools/probes/probe_merge_cost.py,
+# sep=1838, 512 test rows): group device time is FLOP-proportional with
+# near-zero per-dispatch overhead —
+#     T(n_members, t_tokens) ≈ _GROUP_OVERHEAD_MS + n·member_flops(t)/rate
+# with rate ≈ 44 TF/s (the forward's effective rate at these shapes; the
+# analytic FLOP model reproduces all six measured (n, width) grid points
+# within 2%).  The round-4 static pad-ratio gate (merge iff padding ≤ 0.25)
+# encoded the OPPOSITE belief — that a second dispatch costs a large fraction
+# of a group forward.  Measured at the flagship widths 39/39/22/22: split
+# 2×2 groups run 271.7 ms vs 334.8 ms merged — the padded columns' extra
+# FLOPs dominate, and the extra dispatch costs ~nothing because groups are
+# dispatched back-to-back and pipeline on the device queue.  The masked
+# merged path stays available (and lowers on real TPU after the round-5
+# mask block-spec fix) for shapes where it wins: many tiny near-equal-width
+# groups at short sequences, where the per-group overhead dominates.
+_GROUP_OVERHEAD_MS = 2.0
+_EFF_TFLOPS = 44.0
+# tests force the decision; None = cost model decides
+_FORCE_MERGE: bool | None = None
+
+
+def _member_forward_flops(
+    t_tokens: int, s_tr: int, s_te: int, emsize: int, nhid: int, nlayers: int
+) -> float:
+    """Analytic matmul FLOPs of ONE ensemble member's inference forward
+    (2·M·N·K per matmul): per layer, feature-attention projections + scores,
+    item-attention projections + train-self/test→train scores, MLP. Mixer and
+    decoder are identical across merge plans and cancel out of the decision."""
+    s, e = s_tr + s_te, emsize
+    N = s * t_tokens
+    per_layer = (
+        8 * N * e * e  # feature-attn q,k,v,out projections
+        + 4 * s * t_tokens * t_tokens * e  # feature-attn scores + PV
+        + 8 * N * e * e  # item-attn projections
+        + 4 * t_tokens * (s_tr * s_tr + s_te * s_tr) * e  # item scores + PV
+        + 4 * N * e * nhid  # MLP
+    )
+    return float(nlayers * per_layer)
+
+
+def _est_group_ms(
+    n_members: int, t_tokens: int, s_tr: int, s_te: int, cfg: ModelConfig
+) -> float:
+    fl = _member_forward_flops(
+        t_tokens, s_tr, s_te, cfg.emsize, cfg.nhid, cfg.nlayers
+    )
+    return _GROUP_OVERHEAD_MS + n_members * fl / (_EFF_TFLOPS * 1e9)
 
 
 def _merge_width_aux(
@@ -161,11 +206,16 @@ def _pad_width(a: np.ndarray, wmax: int) -> np.ndarray:
 
 
 def _plan_groups(
-    groups: dict[tuple, list[int]], cfg: ModelConfig, n_img_tokens: int
+    groups: dict[tuple, list[int]],
+    cfg: ModelConfig,
+    n_img_tokens: int,
+    n_test: int,
 ) -> list[tuple[list[int], int, np.ndarray | None, np.ndarray | None]]:
     """Collapse same-sep tabular width groups into one padded+masked group when
-    the padding waste is small. Returns [(idxs, width, tab_valid, noise)];
-    width -1 = image-only, tab_valid None = homogeneous (no mask needed)."""
+    the measured cost model says the merged forward is cheaper than the split
+    per-width forwards (see _est_group_ms). Returns
+    [(idxs, width, tab_valid, noise)]; width -1 = image-only, tab_valid None =
+    homogeneous (no mask needed)."""
     plans: list[tuple[list[int], int, Any, Any]] = []
     by_sep: dict[int, list[tuple[int, list[int]]]] = {}
     for (width, sep), idxs in groups.items():
@@ -173,17 +223,29 @@ def _plan_groups(
             plans.append((idxs, -1, None, None))
         else:
             by_sep.setdefault(sep, []).append((width, idxs))
+    fpg = cfg.features_per_group
+
+    def tokens(w: int) -> int:
+        return -(-w // fpg) + n_img_tokens + 1
+
     for sep, wgroups in by_sep.items():
         widths_flat: list[int] = []
         idxs_flat: list[int] = []
         for w, idxs in wgroups:
             widths_flat += [w] * len(idxs)
             idxs_flat += idxs
-        wmax = max(widths_flat)
-        pad_rel = sum(wmax - w for w in widths_flat) / max(
-            1, sum(widths_flat)
-        )
-        if len(wgroups) == 1 or pad_rel > _MERGE_PAD_LIMIT:
+        merge = _FORCE_MERGE
+        if merge is None and len(wgroups) > 1:
+            wmax = max(widths_flat)
+            est_merged = _est_group_ms(
+                len(widths_flat), tokens(wmax), sep, n_test, cfg
+            )
+            est_split = sum(
+                _est_group_ms(len(idxs), tokens(w), sep, n_test, cfg)
+                for w, idxs in wgroups
+            )
+            merge = est_merged < est_split
+        if len(wgroups) == 1 or not merge:
             for w, idxs in wgroups:
                 plans.append((idxs, w, None, None))
             continue
@@ -271,7 +333,7 @@ def _group_and_run(
         if image_full is None
         else _mixer_token_count(cfg.mixer, image_full.shape[-2])
     )
-    plans = _plan_groups(groups, cfg, n_img_tokens)
+    plans = _plan_groups(groups, cfg, n_img_tokens, n_test + pad_rows)
 
     outputs: list[np.ndarray | None] = [None] * len(members)
     pending: list[tuple[list[int], Any]] = []  # dispatch all groups, read back once
@@ -490,7 +552,10 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
         n_img_tokens = (
             0 if img is None else _mixer_token_count(self.cfg.mixer, img.shape[-2])
         )
-        plans = _plan_groups(groups, self.cfg, n_img_tokens)
+        # predict size is unknown at prime time; the decision uses the bucket
+        # floor (the cached predict's cost scales the same way in both plans,
+        # so the choice is insensitive to the exact test-row count)
+        plans = _plan_groups(groups, self.cfg, n_img_tokens, TEST_SIZE_BUCKET)
         self.caches = []
         for idxs, width, tab_valid, noise in plans:
             ys = np.stack([self.members[i].y_train.astype(np.float32) for i in idxs])

@@ -46,6 +46,34 @@ def _members(case_widths, sep, seed=0):
     return members, X_tests, y
 
 
+def test_plan_groups_cost_model_decisions():
+    """The merge decision is a measured device-cost comparison, not a static
+    pad-ratio guess (round-5; calibrated by tools/probes/probe_merge_cost.py).
+    At the flagship bench shape (widths 39/39/22/22, sep 1838, 512 test rows)
+    the SPLIT is measured 271.7 ms vs 334.8 ms merged — the model must choose
+    split. At short sequences with near-equal widths, the per-group dispatch
+    overhead dominates the few padded tokens — the model must choose merge."""
+    from multimodalpfn_tpu.models.config import MixerConfig, ModelConfig
+
+    cfg = ModelConfig(
+        emsize=192, nhead=6, nhid_factor=4, nlayers=12, features_per_group=1,
+        n_out=10, max_num_classes=10,
+        mixer=MixerConfig("MGM+CAP", mgm_heads=16, cap_heads=8, in_dim=768),
+    )
+    # flagship: two width groups at long sequences -> split (2 tabular plans)
+    groups = {(39, 1838): [0, 1], (22, 1838): [2, 3]}
+    plans = inf._plan_groups(groups, cfg, 8, 512)
+    assert len(plans) == 2
+    assert all(tv is None for _, _, tv, _ in plans)
+    # near-equal widths at a short sequence -> one merged masked plan
+    groups = {(10, 60): [0], (9, 60): [1]}
+    plans = inf._plan_groups(groups, cfg, 8, 16)
+    assert len(plans) == 1
+    idxs, width, tab_valid, noise = plans[0]
+    assert sorted(idxs) == [0, 1] and width == 10
+    assert tab_valid is not None and tab_valid.shape == (2, 10)
+
+
 @pytest.mark.parametrize("case_name", ["tabular_clf_fpg1", "mm_mgm_cap"])
 def test_merged_group_matches_split_groups_full_forward(case_name, monkeypatch):
     case = GoldenCase(case_name)
@@ -58,12 +86,12 @@ def test_merged_group_matches_split_groups_full_forward(case_name, monkeypatch):
         img = rng.normal(size=(sep + 9, 2, 96)).astype(np.float32)
         img_tr, img_te = img[:sep], img[sep:]
 
+    monkeypatch.setattr(inf, "_FORCE_MERGE", True)
     merged = _group_and_run(
         params, cfg, members, X_tests, img_tr, img_te,
         autocast=False, bucket_test_rows=False,
     )
-    assert inf._MERGE_PAD_LIMIT > 0  # merge engaged above
-    monkeypatch.setattr(inf, "_MERGE_PAD_LIMIT", -1.0)  # force split groups
+    monkeypatch.setattr(inf, "_FORCE_MERGE", False)  # force split groups
     split = _group_and_run(
         params, cfg, members, X_tests, img_tr, img_te,
         autocast=False, bucket_test_rows=False,
@@ -92,8 +120,9 @@ def test_merged_group_matches_split_groups_cachekv(case_name, monkeypatch):
         outs = eng.iter_outputs(None, img_te)
         return [o for o, _ in outs]
 
+    monkeypatch.setattr(inf, "_FORCE_MERGE", True)
     merged = run()
-    monkeypatch.setattr(inf, "_MERGE_PAD_LIMIT", -1.0)
+    monkeypatch.setattr(inf, "_FORCE_MERGE", False)
     split = run()
     for m, s in zip(merged, split):
         np.testing.assert_allclose(m, s, rtol=1e-5, atol=1e-5)
