@@ -55,6 +55,44 @@ def test_fine_tune_batched_runs(tmp_path):
     assert len(hist["best_val_error"]) == 3
 
 
+def test_fine_tune_batched_reduces_val_error(tmp_path):
+    """Learning-quality gate (round-5): the vmapped sweep must actually LEARN,
+    not merely produce finite losses of the right shape — the round-4 zero-lr
+    bug (`train/step.py` warmup normalization) passed every shape/finiteness
+    assertion for three rounds. On a task whose embeddings carry strong class
+    signal, fine-tuning a random-init model must beat the initial validation
+    error by a clear margin; with a constant-zero learning rate the params
+    never move and this fails."""
+    from multimodalpfn_tpu.train.finetune_batch import fine_tune_batched
+
+    base = _tiny_base(tmp_path)
+    X, emb, y = toy_multimodal_classification(n=100, n_classes=3, emb_dim=96, seed=3)
+    out = fine_tune_batched(
+        mixer_type="MGM+CAP",
+        mgm_heads=2,
+        cap_heads=2,
+        features_per_group=1,
+        path_to_base_model=str(base),
+        X=X,
+        image=emb,
+        y=y,
+        seeds=[0, 1],
+        finetuning_config={
+            "max_steps": 30,
+            "validate_every_n_steps": 5,
+            "learning_rate": 3e-3,
+        },
+    )
+    hist = out["history"]
+    initial = np.asarray(hist["val_error"][0][1])  # step-0 validation, per run
+    best = np.asarray(hist["best_val_error"])
+    # per-run improvement with a robust margin: random-init on a 3-class task
+    # sits near error 0.66; the embedding signal is near-separable
+    assert (best < initial - 0.1).all(), (
+        f"fine-tuning did not improve validation: initial {initial}, best {best}"
+    )
+
+
 def test_fine_tune_batched_on_mesh(tmp_path):
     """Runs shard over dp on the virtual 8-device mesh."""
     import jax
