@@ -23,12 +23,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def initialize_distributed(**kwargs: Any) -> None:
-    """Multi-host init (`jax.distributed.initialize`); no-op if single-process."""
+def initialize_distributed(**kwargs: Any) -> bool:
+    """Multi-host init (`jax.distributed.initialize`). Returns True when a
+    multi-process runtime is (or already was) initialized.
+
+    Error discipline (round-5 verdict #6 — the old blanket
+    ``except (ValueError, RuntimeError): pass`` silently degraded a
+    MISCONFIGURED cluster to single-process):
+
+      * already initialized        -> no-op, True;
+      * explicit coordinator config (any kwargs) that fails -> RAISES — a bad
+        coordinator address / timeout must surface, not fall back silently;
+      * no kwargs and no detectable cluster environment -> single-process
+        no-op, False (the benign case the old code meant to cover).
+    """
+    if jax.distributed.is_initialized():
+        return True
+    if kwargs:
+        jax.distributed.initialize(**kwargs)  # misconfiguration raises
+        return True
     try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):  # already initialized / single-process
-        pass
+        jax.distributed.initialize()  # auto-detect (TPU pod / SLURM / env)
+    except (ValueError, RuntimeError) as e:
+        # only swallow the "nothing to detect" case; anything else —
+        # a half-configured environment — still raises
+        msg = str(e).lower()
+        if "auto" in msg or "detect" in msg or "coordinator_address" in msg:
+            return False
+        raise
+    return True
 
 
 def make_mesh(
