@@ -51,22 +51,54 @@ def test_nanmin_impute():
 @pytest.mark.slow
 def test_experiment_end_to_end(tmp_path):
     """Tiny grid, tiny model: the full run.py protocol (finetune -> reload with
-    preprocessing disabled -> fit/predict accuracy) on synthetic data."""
+    preprocessing disabled -> fit/predict accuracy) on synthetic data.
+
+    Learning-quality gate (round-5): the protocol's fine-tuned accuracy must
+    BEAT the un-fine-tuned base model's fit+predict accuracy on the same
+    split by a clear margin. The round-4 zero-lr optimizer bug made every
+    fine-tune a silent no-op and this test still passed (it only asserted
+    best_value >= 0); with the gate, a no-op optimizer fails here."""
     import jax
 
+    from sklearn.metrics import accuracy_score
+
+    from multimodalpfn_tpu import MMPFNClassifier
     from multimodalpfn_tpu.datasets.synthetic import toy_multimodal_classification
-    from multimodalpfn_tpu.hpo.experiment import run_experiment
+    from multimodalpfn_tpu.estimator.interface_config import ModelInterfaceConfig
+    from multimodalpfn_tpu.hpo.experiment import nanmin_impute, run_experiment
     from multimodalpfn_tpu.models.config import MixerConfig, ModelConfig
     from multimodalpfn_tpu.models.loading import save_model
     from multimodalpfn_tpu.models.params import init_params
+    from multimodalpfn_tpu.preprocess.ensemble import PreprocessorConfig
 
     base = tmp_path / "base.ckpt"
     cfg = ModelConfig(
         emsize=24, nhead=6, nhid_factor=4, nlayers=2, n_out=10, max_num_classes=10,
+        mixer=MixerConfig("MGM+CAP", mgm_heads=2, cap_heads=2, in_dim=96),
     )
     save_model(base, init_params(jax.random.PRNGKey(0), cfg, model_seed=0), cfg)
 
-    X, emb, y = toy_multimodal_classification(n=80, n_classes=3, emb_dim=96, seed=0)
+    X, emb, y = toy_multimodal_classification(n=100, n_classes=3, emb_dim=96, seed=0)
+
+    # --- baseline: the UN-fine-tuned base model on the protocol's seed-0
+    # split, same reload config (`run.py:101-116` minus the fine-tune)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(y))
+    ntr = int(len(y) * 0.8)
+    tr, te = perm[:ntr], perm[ntr:]
+    no_preproc = ModelInterfaceConfig(
+        FINGERPRINT_FEATURE=False,
+        PREPROCESS_TRANSFORMS=[PreprocessorConfig(name="none")],
+    )
+    base_clf = MMPFNClassifier(
+        model_path=base, inference_config=no_preproc,
+        ignore_pretraining_limits=True, mixer_type="MGM+CAP", mgm_heads=2,
+        cap_heads=2, features_per_group=1,
+        categorical_features_indices=[0, 1],
+    )
+    base_clf.fit(nanmin_impute(X[tr]), emb[tr], y[tr])
+    base_acc = accuracy_score(y[te], base_clf.predict(nanmin_impute(X[te]), emb[te]))
+
     study = run_experiment(
         X=X,
         embeddings=emb,
@@ -83,13 +115,22 @@ def test_experiment_end_to_end(tmp_path):
         n_seeds=1,
         results_path=str(tmp_path / "results.json"),
         checkpoint_dir=str(tmp_path),
-        finetuning_config={"max_steps": 2, "validate_every_n_steps": 2},
-        time_limit=300,
+        finetuning_config={
+            "max_steps": 30,
+            "validate_every_n_steps": 5,
+            "learning_rate": 3e-3,
+        },
+        time_limit=600,
     )
-    assert study.best_value >= 0.0
     assert (tmp_path / "results.json").exists()
     row = study.results_table()[0]
     assert row["n_completed_seeds"] == 1
+    # the learning gate: fine-tuning must beat the un-fine-tuned base by a
+    # robust margin on this near-separable task (base is random-init ~ chance)
+    assert study.best_value > base_acc + 0.1, (
+        f"fine-tuned accuracy {study.best_value:.3f} does not beat the "
+        f"un-fine-tuned base {base_acc:.3f} — training is not training"
+    )
 
 
 def test_study_results_collation(tmp_path):
