@@ -46,6 +46,180 @@ PEAK_FLOPS = {
 }
 
 
+def kernel_parity_metrics(
+    tol_f32: float = 1e-4,
+    tol_bf16: float = 3e-2,
+    *,
+    feat_shape: tuple[int, int, int] = (2, 96, 31),  # (b, s, t)
+    item_shape: tuple[int, int, int] = (12, 768, 128),  # (lead, sep, s_te)
+) -> dict:
+    """On-hardware Pallas-vs-XLA numerical parity gate (round-5 verdict #3).
+
+    Every Pallas kernel test runs in interpret mode on CPU, so a Mosaic
+    lowering regression ships silently — round 5 found exactly that (the
+    round-4 masked feature-attention kernel's (1, t8) mask BlockSpec never
+    lowered on a real TPU). This gate runs each production kernel against its
+    XLA formulation ON THE REAL CHIP at a representative shape:
+
+      * fused feature-attention+LN — sample-major, item-major, and the
+        per-member masked (cross-width) variants, fwd and custom-vjp bwd
+      * fused MLP+LN, fwd + bwd
+      * flash (transposed-layout) two-block item attention, fwd + bwd
+      * the fully-fused item sublayer (in-kernel projections + flash +
+        out-proj + residual + LN), fwd + bwd
+      * the flash path at the production dtype (bf16), looser tolerance
+
+    f32 comparisons run under highest matmul precision; error metric is
+    max|pallas − xla| / max|xla|. Any kernel over tolerance sets
+    ``kernel_parity_ok: false`` (bench exits nonzero after printing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalpfn_tpu.ops.attention import item_attention, self_attention
+    from multimodalpfn_tpu.ops.pallas_fused import (
+        fused_feature_attention_ln,
+        fused_feature_attention_ln_im,
+        fused_mlp_ln,
+    )
+    from multimodalpfn_tpu.ops.pallas_item_fused import fused_item_sublayer
+
+    e, h, d, nhid = 192, 6, 32, 768
+    b, s, t = feat_shape
+    lead, sep, ste = item_shape
+    rng = np.random.default_rng(7)
+    wqkv = jnp.asarray(rng.normal(size=(3, h, d, e)) * 0.05, jnp.float32)
+    wout = jnp.asarray(rng.normal(size=(h, d, e)) * 0.05, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(e, nhid)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(nhid, e)) * 0.05, jnp.float32)
+    x_feat = jnp.asarray(rng.normal(size=(b, s, t, e)), jnp.float32)
+    mask = np.ones((b, t), bool)
+    mask[b - 1, (2 * t) // 3:] = False  # last member masks its padded tail
+    mask_j = jnp.asarray(mask)
+    x_item = jnp.asarray(rng.normal(size=(lead, sep + ste, e)), jnp.float32)
+    cot_feat = jnp.asarray(rng.normal(size=x_feat.shape), jnp.float32)
+    cot_item = jnp.asarray(rng.normal(size=x_item.shape), jnp.float32)
+
+    def ln(u):
+        m = jnp.mean(u, axis=-1, keepdims=True)
+        v = jnp.mean((u - m) ** 2, axis=-1, keepdims=True)
+        return (u - m) * jax.lax.rsqrt(v + 1e-5)
+
+    def rel(a, b_):
+        a, b_ = np.asarray(a, np.float64), np.asarray(b_, np.float64)
+        return float(np.abs(a - b_).max() / (np.abs(b_).max() + 1e-30))
+
+    def grads_of(fn, *args, cot):
+        def loss(*a):
+            return jnp.sum(fn(*a).astype(jnp.float32) * cot)
+
+        return jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+
+    errs: dict[str, float] = {}
+    with jax.default_matmul_precision("highest"):
+        # --- fused feature attention + LN (sample-major + masked) ---
+        def xla_feat(xx, km=None):
+            km4 = None if km is None else km[:, None, None, None, :]
+            return ln(xx + self_attention(xx, wqkv, wout, key_mask=km4))
+
+        fused = jax.jit(lambda xx: fused_feature_attention_ln(xx, wqkv, wout))
+        ref = jax.jit(xla_feat)
+        errs["feat_attn_fwd"] = rel(fused(x_feat), ref(x_feat))
+        g_f = jax.jit(lambda xx, w, wo: grads_of(
+            fused_feature_attention_ln, xx, w, wo, cot=cot_feat))(x_feat, wqkv, wout)
+        g_r = jax.jit(lambda xx, w, wo: grads_of(
+            lambda a, b2, c: ln(a + self_attention(a, b2, c)), xx, w, wo,
+            cot=cot_feat))(x_feat, wqkv, wout)
+        errs["feat_attn_bwd"] = max(rel(a, b2) for a, b2 in zip(g_f, g_r))
+        errs["feat_attn_masked_fwd"] = rel(
+            jax.jit(lambda xx: fused_feature_attention_ln(
+                xx, wqkv, wout, key_mask=mask_j[:, None, :]))(x_feat),
+            jax.jit(lambda xx: xla_feat(xx, mask_j))(x_feat),
+        )
+        # --- item-major layout (+ masked) ---
+        x_im = jnp.swapaxes(x_feat, 1, 2)
+        errs["feat_attn_im_fwd"] = rel(
+            jax.jit(lambda xx: fused_feature_attention_ln_im(xx, wqkv, wout))(x_im),
+            jnp.swapaxes(ref(x_feat), 1, 2),
+        )
+        errs["feat_attn_im_masked_fwd"] = rel(
+            jax.jit(lambda xx: fused_feature_attention_ln_im(
+                xx, wqkv, wout, key_mask=mask_j))(x_im),
+            jnp.swapaxes(jax.jit(lambda xx: xla_feat(xx, mask_j))(x_feat), 1, 2),
+        )
+        # --- fused MLP + LN ---
+        def xla_mlp(xx):
+            hh = jax.nn.gelu(xx @ w1, approximate=False)
+            return ln(xx + hh @ w2)
+
+        errs["mlp_fwd"] = rel(
+            jax.jit(lambda xx: fused_mlp_ln(xx, w1, w2))(x_feat),
+            jax.jit(xla_mlp)(x_feat),
+        )
+        g_f = jax.jit(lambda xx, a, b2: grads_of(fused_mlp_ln, xx, a, b2,
+                                                 cot=cot_feat))(x_feat, w1, w2)
+        g_r = jax.jit(lambda xx, a, b2: grads_of(
+            lambda u, v, w: ln(u + jax.nn.gelu(u @ v, approximate=False) @ w),
+            xx, a, b2, cot=cot_feat))(x_feat, w1, w2)
+        errs["mlp_bwd"] = max(rel(a, b2) for a, b2 in zip(g_f, g_r))
+
+        # --- flash two-block item attention (fwd + bwd) ---
+        def item(xx, use_flash):
+            return item_attention(
+                xx, wqkv, wout, single_eval_pos=sep, use_flash=use_flash,
+            )
+
+        errs["flash_item_fwd"] = rel(
+            jax.jit(lambda xx: item(xx, True))(x_item),
+            jax.jit(lambda xx: item(xx, False))(x_item),
+        )
+        g_f = jax.jit(lambda xx, w, wo: grads_of(
+            lambda a, b2, c: item_attention(a, b2, c, single_eval_pos=sep,
+                                            use_flash=True),
+            xx, w, wo, cot=cot_item))(x_item, wqkv, wout)
+        g_r = jax.jit(lambda xx, w, wo: grads_of(
+            lambda a, b2, c: item_attention(a, b2, c, single_eval_pos=sep,
+                                            use_flash=False),
+            xx, w, wo, cot=cot_item))(x_item, wqkv, wout)
+        errs["flash_item_bwd"] = max(rel(a, b2) for a, b2 in zip(g_f, g_r))
+
+        # --- fully-fused item sublayer (fwd + bwd) ---
+        x_im3 = x_item.reshape(2, lead // 2, sep + ste, e)
+        cot_im3 = cot_item.reshape(x_im3.shape)
+        errs["item_sublayer_fwd"] = rel(
+            jax.jit(lambda xx: fused_item_sublayer(
+                xx, wqkv, wout, single_eval_pos=sep,
+                compute_dtype=jnp.float32))(x_im3),
+            jax.jit(lambda xx: ln(xx + item(xx, False)))(x_im3),
+        )
+        g_f = jax.jit(lambda xx, w, wo: grads_of(
+            lambda a, b2, c: fused_item_sublayer(
+                a, b2, c, single_eval_pos=sep, compute_dtype=jnp.float32),
+            xx, w, wo, cot=cot_im3))(x_im3, wqkv, wout)
+        g_r = jax.jit(lambda xx, w, wo: grads_of(
+            lambda a, b2, c: ln(a + item_attention(
+                a, b2, c, single_eval_pos=sep, use_flash=False)),
+            xx, w, wo, cot=cot_im3))(x_im3, wqkv, wout)
+        errs["item_sublayer_bwd"] = max(rel(a, b2) for a, b2 in zip(g_f, g_r))
+
+    # --- production dtype: bf16 flash vs bf16 XLA (accumulations f32) ---
+    xb = x_item.astype(jnp.bfloat16)
+    errs["flash_item_fwd_bf16"] = rel(
+        jax.jit(lambda xx: item_attention(
+            xx, wqkv, wout, single_eval_pos=sep, use_flash=True,
+            compute_dtype=jnp.bfloat16))(xb).astype(jnp.float32),
+        jax.jit(lambda xx: item_attention(
+            xx, wqkv, wout, single_eval_pos=sep, use_flash=False,
+            compute_dtype=jnp.bfloat16))(xb).astype(jnp.float32),
+    )
+
+    tol = {k: (tol_bf16 if k.endswith("bf16") else tol_f32) for k in errs}
+    ok = all(v < tol[k] and np.isfinite(v) for k, v in errs.items())
+    return {
+        "kernel_parity_ok": bool(ok),
+        "kernel_parity_rel_err": {k: float(f"{v:.3g}") for k, v in errs.items()},
+    }
+
+
 def fit_predict_throughput(X, emb, y) -> tuple[float, int]:
     from multimodalpfn_tpu import MMPFNClassifier
 
@@ -406,8 +580,112 @@ def sweep_metrics(
     return out
 
 
+def cached_predict_flops(
+    *, t: int, s_te: int, s_tr: int, e: int, nhid: int, nlayers: int,
+) -> float:
+    """Analytic matmul FLOPs of one member's KV-cached predict
+    (models/cached.py::forward_cached): per layer, feature attention
+    (projections + scores over t tokens), the multiquery q-projection +
+    cross-attention to the cached single KV head, out-projection, and MLP."""
+    per_layer = (
+        8 * s_te * t * e * e  # feature-attn projections
+        + 4 * s_te * t * t * e  # feature-attn scores + PV
+        + 2 * s_te * t * e * e  # item q projection (h*d == e)
+        + 4 * t * s_te * s_tr * e  # scores + PV vs cached KV head 0
+        + 2 * s_te * t * e * e  # item out-projection
+        + 4 * s_te * t * e * nhid  # MLP
+    )
+    return float(nlayers * per_layer)
+
+
+def serving_attribution(clf, Xq, Eq, n_chain: int = 6) -> dict:
+    """Phase attribution of one warm cached predict at a given request size
+    (round-5 verdict #4): host preprocessing vs device compute vs the
+    host↔device sync, plus an MFU figure for the cached forward. Mirrors
+    `InferenceEngineCacheKV.iter_outputs` with timers; device time is
+    measured latency-free by chaining the per-group cached forwards
+    back-to-back with ONE final sync (the axon tunnel adds ~30 ms/sync)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalpfn_tpu.estimator import inference as inf
+    from multimodalpfn_tpu.estimator.data_utils import fix_dtypes, validate_X_predict
+
+    eng = clf.executor_
+    out: dict = {}
+    t0 = time.time()
+    Xv = validate_X_predict(Xq, clf)
+    Xv = fix_dtypes(Xv, cat_indices=clf.categorical_features_indices)
+    Xv = np.asarray(clf.preprocessor_.transform(Xv))
+    X_tests = [
+        None if m.X_train is None else m.preprocessor.transform(Xv).X
+        for m in eng.members
+    ]
+    out["host_transform_ms"] = round((time.time() - t0) * 1e3, 1)
+
+    t0 = time.time()
+    n_test = len(X_tests[0]) if X_tests[0] is not None else len(Eq)
+    pad_rows = inf._bucket_test_rows(n_test) - n_test
+    if pad_rows:
+        X_tests = [
+            None if Xt is None
+            else np.concatenate([Xt, np.repeat(Xt[-1:], pad_rows, axis=0)])
+            for Xt in X_tests
+        ]
+    img_te = np.asarray(Eq, dtype=np.float32)
+    if pad_rows:
+        img_te = np.concatenate([img_te, np.repeat(img_te[-1:], pad_rows, axis=0)])
+    groups = []
+    for cache, idxs, width in eng.caches:
+        xs = (
+            None if width < 0
+            else np.stack([
+                inf._pad_width(X_tests[i].astype(np.float32), width) for i in idxs
+            ])
+        )
+        groups.append((cache, xs))
+    out["host_stack_ms"] = round((time.time() - t0) * 1e3, 1)
+
+    fwd = inf._forward_cached_jit()
+    img_b = jnp.asarray(img_te)[None]
+    # settle + measure the tunnel sync floor
+    ident = jax.jit(lambda a: a * 1.000001)
+    z = np.asarray(ident(jnp.zeros((8, 8), jnp.float32)))
+    t0 = time.time()
+    z = ident(jnp.zeros((8, 8), jnp.float32))
+    np.asarray(z)
+    sync_ms = (time.time() - t0) * 1e3
+    out["tunnel_sync_ms"] = round(sync_ms, 1)
+
+    # warm the programs once, then chain n_chain full predict-dispatch sets
+    lgs = [fwd(eng.params, eng._run_cfg, c, xs, img_b) for c, xs in groups]
+    jax.device_get(lgs)
+    t0 = time.time()
+    for _ in range(n_chain):
+        lgs = [fwd(eng.params, eng._run_cfg, c, xs, img_b) for c, xs in groups]
+    jax.device_get(lgs)
+    dev_ms = ((time.time() - t0) * 1e3 - sync_ms) / n_chain
+    out["device_forward_ms"] = round(dev_ms, 1)
+
+    cfg = eng.cfg
+    n_img = inf._mixer_token_count(cfg.mixer, Eq.shape[-2]) if Eq is not None else 0
+    fl = 0.0
+    for cache, idxs, width in eng.caches:
+        tok = (0 if width < 0 else -(-width // cfg.features_per_group)) + n_img + 1
+        fl += len(idxs) * cached_predict_flops(
+            t=tok, s_te=n_test + pad_rows, s_tr=cache.kv0.shape[-1],
+            e=cfg.emsize, nhid=cfg.nhid, nlayers=cfg.nlayers,
+        )
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind, 197e12)
+    out["cached_predict_tflops"] = round(fl / 1e12, 3)
+    out["cached_predict_mfu"] = round(fl / (dev_ms / 1e3) / peak, 4)
+    return out
+
+
 def serving_metrics(
-    X, emb, y, n_repeat: int = 11, batch_rows: tuple[int, ...] = (460, 920, 1840)
+    X, emb, y, n_repeat: int = 11,
+    batch_rows: tuple[int, ...] = (460, 920, 1840, 3680),
 ) -> dict:
     """Serving regime: fit once with the functional KV cache
     (`fit_mode="fit_with_cache"`, reference CacheKV mode `inference.py:354-513`),
@@ -454,6 +732,15 @@ def serving_metrics(
     best = max(sweep, key=lambda r: r[1])
     out["serving_best_samples_per_s"] = best[1]
     out["serving_best_batch_rows"] = best[0]
+    # phase attribution + cached-forward MFU at the best point (verdict #4)
+    try:
+        reps = -(-best[0] // n_test)
+        Xq = np.concatenate([Xte] * reps)[: best[0]]
+        Eq = np.concatenate([Ete] * reps)[: best[0]]
+        out["serving_attribution_rows"] = best[0]
+        out.update(serving_attribution(clf, Xq, Eq))
+    except Exception as e:  # pragma: no cover
+        out["serving_attribution_error"] = repr(e)[:200]
     return out
 
 
@@ -609,6 +896,11 @@ def main() -> None:
 
     extra = {}
     try:
+        extra.update(kernel_parity_metrics())
+    except Exception as e:  # pragma: no cover - a crash IS a parity failure
+        extra["kernel_parity_ok"] = False
+        extra["kernel_parity_error"] = repr(e)[:300]
+    try:
         extra.update(train_step_mfu())
     except Exception as e:  # pragma: no cover - keep the headline metric alive
         extra["mfu_error"] = repr(e)[:200]
@@ -683,6 +975,10 @@ def main() -> None:
             }
         )
     )
+    if extra.get("kernel_parity_ok") is False:
+        # the JSON line above still carries every measurement; the nonzero
+        # exit makes an on-hardware kernel regression impossible to miss
+        raise SystemExit(4)
 
 
 if __name__ == "__main__":

@@ -623,6 +623,7 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
                 )
         outputs: list[np.ndarray | None] = [None] * len(self.members)
         fwd = _forward_cached_jit()  # module-level: predicts reuse one compile
+        pending: list[tuple[list[int], Any]] = []
         for cache, idxs, width in self.caches:
             xs = (
                 None
@@ -637,7 +638,12 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
             # singleton member axis (shared test image): ~1/len(idxs) of the
             # per-predict host->device transfer, mixer runs once
             img_b = None if img_te is None else img_te[None]
-            logits = np.asarray(fwd(self.params, self._run_cfg, cache, xs, img_b))
+            pending.append((idxs, fwd(self.params, self._run_cfg, cache, xs, img_b)))
+        # ONE host sync for all cache groups (the remote-TPU tunnel costs
+        # ~30 ms per sync; a split plan would otherwise pay it per group)
+        fetched = jax.device_get([lg for _, lg in pending])
+        for (idxs, _), logits in zip(pending, fetched):
+            logits = np.asarray(logits)
             if pad_rows:
                 logits = logits[:, :-pad_rows]
             for j, i in enumerate(idxs):

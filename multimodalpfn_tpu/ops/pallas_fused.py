@@ -463,7 +463,8 @@ def _attn_fwd_call(
             ],
             out_specs=pl.BlockSpec((block_rows, t8, e), lambda i: (i, 0, 0)),
         ),
-        compiler_params=_compiler_params("parallel"),
+        # see the item-major variant: f32 at t8≈48 needs >16 MB scoped VMEM
+        compiler_params=_compiler_params("parallel", vmem_limit_mb=64),
     )(x2, wqkv2, wout2)
     return out.reshape(*lead, t, e)
 
@@ -541,7 +542,12 @@ def _attn_fwd_call_im(
                 (1, t8, block_rows, e), lambda bi, si: (bi, 0, si, 0)
             ),
         ),
-        compiler_params=_compiler_params("parallel", "parallel"),
+        # f32 (parity-mode) working sets at t8≈48 exceed the default 16 MB
+        # scoped budget (measured 17.21 MB on v5e at width-39 inputs);
+        # raising the limit is perf-neutral (probe_vmem_limit_ab.py)
+        compiler_params=_compiler_params(
+            "parallel", "parallel", vmem_limit_mb=64
+        ),
     )(x, wqkv2, wout2)
 
 
@@ -732,8 +738,13 @@ def _mlp_bwd_call(x, w1, w2, g, block_rows: int):
                     pl.BlockSpec((H, e), lambda gi, i: (0, 0)),
                 ),
             ),
-            # sequential grid: dw accumulates across blocks
-            compiler_params=_compiler_params("arbitrary", "arbitrary"),
+            # sequential grid: dw accumulates across blocks; f32 working sets
+            # exceed the default 16 MB scoped VMEM (measured 18.5 MB on v5e;
+            # bf16 production fits — the limit raise is perf-neutral,
+            # probe_vmem_limit_ab.py)
+            compiler_params=_compiler_params(
+                "arbitrary", "arbitrary", vmem_limit_mb=64
+            ),
         )(x2, g2, w1.astype(x.dtype), w2.astype(x.dtype))
         return (
             dx.reshape(x.shape),
@@ -766,8 +777,9 @@ def _mlp_bwd_call(x, w1, w2, g, block_rows: int):
                 pl.BlockSpec((H, e), lambda i: (0, 0)),
             ),
         ),
-        # sequential grid: dw accumulates across blocks
-        compiler_params=_compiler_params("arbitrary"),
+        # sequential grid: dw accumulates across blocks; see the item-major
+        # variant above for the f32 scoped-VMEM rationale
+        compiler_params=_compiler_params("arbitrary", vmem_limit_mb=64),
     )(x2, g2, w1.astype(x.dtype), w2.astype(x.dtype))
     return dx.reshape(x.shape), dw1.astype(w1.dtype), dw2.astype(w2.dtype)
 

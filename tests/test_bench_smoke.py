@@ -34,6 +34,33 @@ def test_sweep_metrics_smoke():
     assert np.isfinite(m["sweep_mfu"]) and m["sweep_mfu"] >= 0
 
 
+@pytest.mark.slow
+def test_kernel_parity_metrics_smoke():
+    """The on-hardware parity gate's code path, at tiny shapes in interpret
+    mode — a refactor crash would otherwise only surface in the driver's TPU
+    bench run. (On CPU the flash-vs-XLA item comparison degenerates to
+    XLA-vs-XLA below the sep>=512 flash gate, so shapes keep sep=512.)"""
+    from jax.experimental import pallas as pl  # noqa: F401
+    import jax.experimental.pallas.tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        m = bench.kernel_parity_metrics(
+            feat_shape=(2, 12, 9), item_shape=(2, 512, 64)
+        )
+    assert set(m) == {"kernel_parity_ok", "kernel_parity_rel_err"}
+    assert m["kernel_parity_ok"] is True, m
+
+
+def test_cached_predict_flops_positive_and_scales():
+    f1 = bench.cached_predict_flops(
+        t=30, s_te=512, s_tr=1838, e=192, nhid=768, nlayers=12
+    )
+    f2 = bench.cached_predict_flops(
+        t=30, s_te=1024, s_tr=1838, e=192, nhid=768, nlayers=12
+    )
+    assert f1 > 0 and 1.9 * f1 < f2 < 2.1 * f1  # linear in test rows
+
+
 def test_model_matmul_flops_positive_and_scales():
     f1 = bench.model_matmul_flops(
         e=192, nhead=6, nhid=768, nlayers=12, b=1, s=1470, s_tr=1323,
