@@ -268,6 +268,22 @@ def _bucket_test_rows(n_test: int, bucket: int = TEST_SIZE_BUCKET) -> int:
     return max(bucket, -(-n_test // bucket) * bucket)
 
 
+def _early_test_image(image_test, X) -> Any:
+    """Bucket-pad the test-side image and START its host→device DMA before the
+    CPU-bound member transforms run (device transfers are async, so the ~MBs
+    of embeddings fly while sklearn transforms the test rows — at bench shapes
+    both are tens of ms and fully overlap). Only when tabular X exists: the
+    returned jax.Array signals `_group_and_run` that the image is already
+    padded (image-only mode keeps the plain numpy path)."""
+    if image_test is None or X is None or isinstance(image_test, jax.Array):
+        return image_test
+    a = np.asarray(image_test, dtype=np.float32)
+    pad = _bucket_test_rows(len(a)) - len(a)
+    if pad:
+        a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+    return jnp.asarray(a)
+
+
 def _group_and_run(
     params: dict,
     cfg: ModelConfig,
@@ -279,7 +295,10 @@ def _group_and_run(
     autocast: bool,
     bucket_test_rows: bool = True,
 ) -> list[np.ndarray]:
-    """Stack same-width members into batched forwards; return per-member logits."""
+    """Stack same-width members into batched forwards; return per-member logits.
+
+    ``image_test`` may arrive as a jax.Array already padded to the test-row
+    bucket (`_early_test_image` — upload overlapped with member transforms)."""
     on_accel = jax.devices()[0].platform not in ("cpu",)
     run_cfg = dataclasses.replace(
         cfg,
@@ -289,8 +308,9 @@ def _group_and_run(
     )
 
     # bucket the test-row count (compile-cache friendliness for repeated predicts)
+    img_prepadded = isinstance(image_test, jax.Array)
     n_test = None
-    if image_test is not None:
+    if image_test is not None and not img_prepadded:
         n_test = len(image_test)
     for Xt in X_tests:
         if Xt is not None:
@@ -304,10 +324,14 @@ def _group_and_run(
             else np.concatenate([Xt, np.repeat(Xt[-1:], pad_rows, axis=0)])
             for Xt in X_tests
         ]
-        if image_test is not None:
+        if image_test is not None and not img_prepadded:
             image_test = np.concatenate(
                 [image_test, np.repeat(np.asarray(image_test)[-1:], pad_rows, axis=0)]
             )
+    if img_prepadded:
+        assert image_test.shape[0] == n_test + pad_rows, (
+            "pre-uploaded test image must already carry the bucket padding"
+        )
 
     image_full = None
     if image_train is not None and image_test is not None:
@@ -318,7 +342,11 @@ def _group_and_run(
             if isinstance(image_train, jax.Array)
             else _device_train_image(image_train)
         )
-        img_te = jnp.asarray(np.asarray(image_test, dtype=np.float32))
+        img_te = (
+            image_test
+            if img_prepadded
+            else jnp.asarray(np.asarray(image_test, dtype=np.float32))
+        )
         image_full = jnp.concatenate([img_tr, img_te], axis=0)
 
     # group member indices by (feature width, train length), then collapse
@@ -437,6 +465,7 @@ class InferenceEngineCachePreprocessing(InferenceEngine):
         )
 
     def iter_outputs(self, X, image_test):
+        image_test = _early_test_image(image_test, X)  # DMA overlaps transforms
         X_tests = [
             None if m.X_train is None else m.preprocessor.transform(X).X
             for m in self.members
@@ -498,6 +527,7 @@ class InferenceEngineOnDemand(InferenceEngine):
         )
 
     def iter_outputs(self, X, image_test):
+        image_test = _early_test_image(image_test, X)  # DMA overlaps the refit
         rng = np.random.default_rng(self.static_seed)
         fitted = fit_preprocessing(
             self.ensemble_configs,
@@ -599,16 +629,25 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
     def iter_outputs(self, X, image_test):
         if self.caches is None:
             self._prime()
+        # pad + upload the test image FIRST: the async DMA overlaps the
+        # CPU-bound member transforms, and ONE device array serves every
+        # cache group (previously each group's dispatch re-uploaded the
+        # same numpy array)
+        img_dev = None
+        n_test = None
+        if image_test is not None:
+            a = np.asarray(image_test, dtype=np.float32)
+            n_test = len(a)
+            pad_img = _bucket_test_rows(n_test) - n_test
+            if pad_img:
+                a = np.concatenate([a, np.repeat(a[-1:], pad_img, axis=0)])
+            img_dev = jnp.asarray(a)[None]  # singleton member axis
         X_tests = [
             None if m.X_train is None else m.preprocessor.transform(X).X
             for m in self.members
         ]
-        img_te = (
-            None if image_test is None else np.asarray(image_test, dtype=np.float32)
-        )
-        n_test = len(img_te) if img_te is not None else len(
-            next(Xt for Xt in X_tests if Xt is not None)
-        )
+        if n_test is None:
+            n_test = len(next(Xt for Xt in X_tests if Xt is not None))
         pad_rows = _bucket_test_rows(n_test) - n_test
         if pad_rows:
             X_tests = [
@@ -617,10 +656,6 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
                 else np.concatenate([Xt, np.repeat(Xt[-1:], pad_rows, axis=0)])
                 for Xt in X_tests
             ]
-            if img_te is not None:
-                img_te = np.concatenate(
-                    [img_te, np.repeat(img_te[-1:], pad_rows, axis=0)]
-                )
         outputs: list[np.ndarray | None] = [None] * len(self.members)
         fwd = _forward_cached_jit()  # module-level: predicts reuse one compile
         pending: list[tuple[list[int], Any]] = []
@@ -637,8 +672,7 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
             )
             # singleton member axis (shared test image): ~1/len(idxs) of the
             # per-predict host->device transfer, mixer runs once
-            img_b = None if img_te is None else img_te[None]
-            pending.append((idxs, fwd(self.params, self._run_cfg, cache, xs, img_b)))
+            pending.append((idxs, fwd(self.params, self._run_cfg, cache, xs, img_dev)))
         # ONE host sync for all cache groups (the remote-TPU tunnel costs
         # ~30 ms per sync; a split plan would otherwise pay it per group)
         fetched = jax.device_get([lg for _, lg in pending])

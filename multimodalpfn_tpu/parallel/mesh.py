@@ -45,10 +45,17 @@ def initialize_distributed(**kwargs: Any) -> bool:
     try:
         jax.distributed.initialize()  # auto-detect (TPU pod / SLURM / env)
     except (ValueError, RuntimeError) as e:
-        # only swallow the "nothing to detect" case; anything else —
-        # a half-configured environment — still raises
+        # only swallow the benign cases — no cluster to detect, or the XLA
+        # backend is already live in a single-process session; anything
+        # else (a half-configured environment) still raises
         msg = str(e).lower()
-        if "auto" in msg or "detect" in msg or "coordinator_address" in msg:
+        benign = (
+            "auto" in msg
+            or "detect" in msg
+            or "coordinator_address" in msg
+            or "before any jax calls" in msg
+        )
+        if benign:
             return False
         raise
     return True

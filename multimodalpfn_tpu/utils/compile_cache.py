@@ -41,7 +41,15 @@ def enable_persistent_cache() -> None:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if os.environ.get("MMPFN_JAX_CACHE_READONLY", "") not in ("", "0"):
+            # Read-only reuse of a pre-warmed cache: loads skip the compile,
+            # and the write path (the part measured to stall minutes over the
+            # remote tunnel) never runs — min_compile_time gates WRITES only.
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1e9
+            )
+        else:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - cache is an optimization only
         pass
