@@ -41,10 +41,14 @@ g0 = jnp.asarray(rng.normal(size=(G, 1, t, S, e)), cd)
 wqkv = jnp.asarray(rng.normal(size=(G, 3, h, d, e)) * 0.05, jnp.float32)
 wout = jnp.asarray(rng.normal(size=(G, h, d, e)) * 0.05, jnp.float32)
 
+# baseline on a SMALL array: the result fetch must be bytes, not the 64 MB
+# operand (the first version of this probe fetched dx itself and measured
+# the tunnel's ~400 ms/64MB download instead of the kernel)
 ident = jax.jit(lambda a: a * 1.000001)
-np.asarray(ident(x0))
+z0 = jnp.zeros((8, 128), jnp.float32)
+np.asarray(ident(z0))
 t0 = time.time()
-z = x0
+z = z0
 for _ in range(K):
     z = ident(z)
 np.asarray(z)
@@ -188,9 +192,10 @@ def bwd_fn():
         dx, dwq, dwo = pf._attn_bwd_call_im(
             xi, wq, wo, gi, pf._ATTN_BWD_BLOCK_ROWS
         )
-        return dx
+        # reduce IN-jit so the per-call fetch is a scalar, not 64 MB of dx
+        return jnp.sum(dx.astype(jnp.float32))
 
-    return jax.jit(jax.vmap(one))
+    return jax.jit(lambda a, b, c, d_: jnp.sum(jax.vmap(one)(a, b, c, d_)))
 
 
 ALL = {"proj", "scores", "ln", "wout", "loop2", "dxdw"}
