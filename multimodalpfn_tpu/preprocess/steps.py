@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import numpy as np
 
+from multimodalpfn_tpu import native
 from multimodalpfn_tpu.utils.rng import infer_random_state
 
 
@@ -127,12 +128,21 @@ class AddFingerprintFeaturesStep(PreprocessingStep):
         salted = X + self.rnd_salt_
         if is_test:
             # reference quirk: test rows get the salt applied twice
-            for i, row in enumerate(salted):
-                X_h[i] = _stable_float_hash(row + self.rnd_salt_)
+            doubled = salted + self.rnd_salt_
+            hashed = native.hash_rows(doubled)  # one C call for all rows
+            if hashed is not None:
+                X_h[:] = hashed
+            else:
+                for i, row in enumerate(doubled):
+                    X_h[i] = _stable_float_hash(row)
         else:
+            # Batch-hash every row natively, then resolve the (rare) collisions
+            # with the exact sequential count-up-rehash semantics of the Python
+            # loop (identical rows, or a 1-in-10^12 accident).
+            hashed = native.hash_rows(salted)
             seen: set[float] = set()
             for i, row in enumerate(salted):
-                h = _stable_float_hash(row)
+                h = hashed[i] if hashed is not None else _stable_float_hash(row)
                 bump = 0
                 while h in seen:
                     bump += 1
