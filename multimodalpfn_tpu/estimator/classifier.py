@@ -218,9 +218,52 @@ class MMPFNClassifier(ClassifierMixin, BaseEstimator):
     def predict_proba(self, X, image_test: np.ndarray | None = None) -> np.ndarray:
         return self._predict_proba_impl(X, image_test)
 
+    def predict_proba_many(
+        self,
+        Xs,
+        image_tests=None,
+        *,
+        max_in_flight: int = 2,
+    ) -> list[np.ndarray]:
+        """Pipelined ``predict_proba`` over a request stream (serving regime).
+
+        Host-side work of request N+1 (member transforms, test-embedding
+        upload, dispatch) overlaps device execution of request N via JAX
+        async dispatch — no threads; at most ``max_in_flight`` requests hold
+        device buffers at once.  Results are exactly
+        ``[predict_proba(X, img) for X, img in zip(Xs, image_tests)]``; with
+        engines that have no async device phase (``low_memory`` /
+        ``fit_preprocessors``) the stream degrades to sequential predicts.
+        The reference serves repeated predicts strictly sequentially
+        (`mmpfn/models/mmpfn/inference.py:354-513`); this API is the
+        TPU-native replacement for that loop.
+        """
+        if max_in_flight < 1:
+            raise ValueError("max_in_flight must be >= 1")
+        if image_tests is None:
+            image_tests = [None] * len(Xs)
+        if len(image_tests) != len(Xs):
+            raise ValueError(
+                f"got {len(Xs)} X requests but {len(image_tests)} image requests"
+            )
+        results: list[np.ndarray | None] = [None] * len(Xs)
+        in_flight: list[tuple[int, tuple]] = []
+        for i, (X, img) in enumerate(zip(Xs, image_tests)):
+            in_flight.append((i, self._dispatch_predict(X, img)))
+            if len(in_flight) > max_in_flight:
+                j, handle = in_flight.pop(0)
+                results[j] = self._finalize_predict(handle)
+        for j, handle in in_flight:
+            results[j] = self._finalize_predict(handle)
+        return results  # type: ignore[return-value]
+
     def _predict_proba_impl(self, X, image_test: np.ndarray | None) -> np.ndarray:
         """Member logits -> temperature -> reverse class permutation -> softmax/
         average -> balance -> renormalize (reference `classifier.py:517-576`)."""
+        return self._finalize_predict(self._dispatch_predict(X, image_test))
+
+    def _dispatch_predict(self, X, image_test: np.ndarray | None):
+        """Validation + host transforms + async engine dispatch (no device sync)."""
         from sklearn.utils.validation import check_is_fitted
 
         check_is_fitted(self)
@@ -228,9 +271,11 @@ class MMPFNClassifier(ClassifierMixin, BaseEstimator):
             X = validate_X_predict(X, self)
             X = fix_dtypes(X, cat_indices=self.categorical_features_indices)
             X = np.asarray(self.preprocessor_.transform(X))
+        return self.executor_.dispatch_outputs(X, image_test)
 
+    def _finalize_predict(self, handle) -> np.ndarray:
         outputs = []
-        for output, config in self.executor_.iter_outputs(X, image_test):
+        for output, config in self.executor_.finalize_outputs(handle):
             output = np.asarray(output, dtype=np.float64)
             if self.softmax_temperature != 1:
                 output = output[:, : self.n_classes_] / self.softmax_temperature

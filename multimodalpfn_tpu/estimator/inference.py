@@ -431,6 +431,21 @@ class InferenceEngine:
     ) -> list[tuple[np.ndarray, EnsembleConfig]]:
         raise NotImplementedError
 
+    # -- pipelined serving ---------------------------------------------------
+    # A request stream can split each predict into a host/dispatch half and a
+    # device-sync half, so the host work (member transforms, upload) of request
+    # N+1 overlaps device execution of request N (JAX async dispatch; no
+    # threads).  Engines without an async device phase inherit the eager
+    # default: dispatch computes everything, finalize just unwraps, and the
+    # stream degrades to sequential predicts with identical results.
+    def dispatch_outputs(self, X, image_test):
+        """Begin one predict; returns an opaque handle for finalize_outputs."""
+        return ("eager", self.iter_outputs(X, image_test))
+
+    def finalize_outputs(self, handle):
+        """Complete a predict begun by dispatch_outputs (host sync happens here)."""
+        return handle[1]
+
 
 @dataclass
 class InferenceEngineCachePreprocessing(InferenceEngine):
@@ -627,6 +642,10 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
             self.caches.append((cache, idxs, width))
 
     def iter_outputs(self, X, image_test):
+        return self.finalize_outputs(self.dispatch_outputs(X, image_test))
+
+    def dispatch_outputs(self, X, image_test):
+        """Host transforms + async device dispatch for one predict (no sync)."""
         if self.caches is None:
             self._prime()
         # pad + upload the test image FIRST: the async DMA overlaps the
@@ -656,7 +675,6 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
                 else np.concatenate([Xt, np.repeat(Xt[-1:], pad_rows, axis=0)])
                 for Xt in X_tests
             ]
-        outputs: list[np.ndarray | None] = [None] * len(self.members)
         fwd = _forward_cached_jit()  # module-level: predicts reuse one compile
         pending: list[tuple[list[int], Any]] = []
         for cache, idxs, width in self.caches:
@@ -673,6 +691,11 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
             # singleton member axis (shared test image): ~1/len(idxs) of the
             # per-predict host->device transfer, mixer runs once
             pending.append((idxs, fwd(self.params, self._run_cfg, cache, xs, img_dev)))
+        return ("kv", pending, pad_rows)
+
+    def finalize_outputs(self, handle):
+        _, pending, pad_rows = handle
+        outputs: list[np.ndarray | None] = [None] * len(self.members)
         # ONE host sync for all cache groups (the remote-TPU tunnel costs
         # ~30 ms per sync; a split plan would otherwise pay it per group)
         fetched = jax.device_get([lg for _, lg in pending])

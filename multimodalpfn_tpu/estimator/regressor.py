@@ -224,6 +224,50 @@ class MMPFNRegressor(RegressorMixin, BaseEstimator):
     ):
         """Member logits -> border transform -> probability translation -> average
         -> distribution statistics (reference `regressor.py:577-765`)."""
+        return self._finalize_predict(
+            self._dispatch_predict(X, image_test),
+            output_type=output_type,
+            quantiles=quantiles,
+        )
+
+    def predict_many(
+        self,
+        Xs,
+        image_tests=None,
+        *,
+        output_type: Literal["mean", "median", "mode", "quantiles", "full", "main"] = "mean",
+        quantiles: list[float] | None = None,
+        max_in_flight: int = 2,
+    ) -> list:
+        """Pipelined ``predict`` over a request stream — the regressor twin of
+        ``MMPFNClassifier.predict_proba_many`` (host work of request N+1
+        overlaps device execution of request N; results exactly equal
+        sequential predicts)."""
+        if max_in_flight < 1:
+            raise ValueError("max_in_flight must be >= 1")
+        if image_tests is None:
+            image_tests = [None] * len(Xs)
+        if len(image_tests) != len(Xs):
+            raise ValueError(
+                f"got {len(Xs)} X requests but {len(image_tests)} image requests"
+            )
+        results: list = [None] * len(Xs)
+        in_flight: list[tuple[int, tuple]] = []
+        for i, (X, img) in enumerate(zip(Xs, image_tests)):
+            in_flight.append((i, self._dispatch_predict(X, img)))
+            if len(in_flight) > max_in_flight:
+                j, handle = in_flight.pop(0)
+                results[j] = self._finalize_predict(
+                    handle, output_type=output_type, quantiles=quantiles
+                )
+        for j, handle in in_flight:
+            results[j] = self._finalize_predict(
+                handle, output_type=output_type, quantiles=quantiles
+            )
+        return results
+
+    def _dispatch_predict(self, X, image_test: np.ndarray | None):
+        """Validation + host transforms + async engine dispatch (no device sync)."""
         from sklearn.utils.validation import check_is_fitted
 
         check_is_fitted(self)
@@ -231,7 +275,15 @@ class MMPFNRegressor(RegressorMixin, BaseEstimator):
             X = validate_X_predict(X, self)
             X = fix_dtypes(X, cat_indices=self.categorical_features_indices)
             X = np.asarray(self.preprocessor_.transform(X))
+        return self.executor_.dispatch_outputs(X, image_test)
 
+    def _finalize_predict(
+        self,
+        handle,
+        *,
+        output_type: str = "mean",
+        quantiles: list[float] | None = None,
+    ):
         if quantiles is None:
             quantiles = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
         else:
@@ -241,7 +293,7 @@ class MMPFNRegressor(RegressorMixin, BaseEstimator):
 
         std_borders = np.asarray(self.bardist_.borders, dtype=np.float64)
         outputs, borders = [], []
-        for output, config in self.executor_.iter_outputs(X, image_test):
+        for output, config in self.executor_.finalize_outputs(handle):
             output = np.asarray(output, dtype=np.float64)
             if self.softmax_temperature != 1:
                 output = output / self.softmax_temperature
