@@ -25,8 +25,15 @@ def _requests(X_pool, n_requests, rows, seed):
     return [X_pool[rng.choice(len(X_pool), size=rows, replace=False)] for _ in range(n_requests)]
 
 
-@pytest.mark.parametrize("fit_mode", ["fit_with_cache", "fit_preprocessors"])
-@pytest.mark.parametrize("depth", [1, 3])
+@pytest.mark.parametrize(
+    "fit_mode,depth",
+    [
+        ("fit_with_cache", 1),
+        ("fit_with_cache", 3),
+        # the eager-fallback engine is depth-insensitive by construction
+        ("fit_preprocessors", 3),
+    ],
+)
 def test_pipelined_equals_sequential_classifier(fit_mode, depth):
     X, y = toy_classification(n=90, n_classes=3, seed=11)
     clf = TabPFNClassifier(
@@ -61,6 +68,7 @@ def test_pipelined_multimodal_kv_cache():
         np.testing.assert_array_equal(p, s)
 
 
+@pytest.mark.slow  # ~15 s: quantile/icdf programs compile per output type
 def test_pipelined_regressor_all_output_types():
     X, y = toy_regression(n=80, seed=7)
     reg = MMPFNRegressor(
