@@ -229,8 +229,9 @@ class MMPFNClassifier(ClassifierMixin, BaseEstimator):
 
         Host-side work of request N+1 (member transforms, test-embedding
         upload, dispatch) overlaps device execution of request N via JAX
-        async dispatch — no threads; at most ``max_in_flight`` requests hold
-        device buffers at once.  Results are exactly
+        async dispatch — no threads; ``max_in_flight`` bounds the dispatched
+        requests awaiting finalization (so at most ``max_in_flight + 1``
+        requests' device buffers are live at once).  Results are exactly
         ``[predict_proba(X, img) for X, img in zip(Xs, image_tests)]``; with
         engines that have no async device phase (``low_memory`` /
         ``fit_preprocessors``) the stream degrades to sequential predicts.

@@ -241,7 +241,8 @@ class MMPFNRegressor(RegressorMixin, BaseEstimator):
     ) -> list:
         """Pipelined ``predict`` over a request stream — the regressor twin of
         ``MMPFNClassifier.predict_proba_many`` (host work of request N+1
-        overlaps device execution of request N; results exactly equal
+        overlaps device execution of request N; ``max_in_flight`` bounds the
+        dispatched requests awaiting finalization; results exactly equal
         sequential predicts)."""
         if max_in_flight < 1:
             raise ValueError("max_in_flight must be >= 1")
