@@ -16,7 +16,11 @@ import numpy as np
 from sklearn.base import BaseEstimator, ClassifierMixin
 from sklearn.preprocessing import LabelEncoder
 
-from multimodalpfn_tpu.estimator.base import determine_precision, initialize_model
+from multimodalpfn_tpu.estimator.base import (
+    determine_precision,
+    initialize_model,
+    pipeline_requests,
+)
 from multimodalpfn_tpu.estimator.data_utils import (
     fix_dtypes,
     infer_categorical_features,
@@ -239,24 +243,9 @@ class MMPFNClassifier(ClassifierMixin, BaseEstimator):
         (`mmpfn/models/mmpfn/inference.py:354-513`); this API is the
         TPU-native replacement for that loop.
         """
-        if max_in_flight < 1:
-            raise ValueError("max_in_flight must be >= 1")
-        if image_tests is None:
-            image_tests = [None] * len(Xs)
-        if len(image_tests) != len(Xs):
-            raise ValueError(
-                f"got {len(Xs)} X requests but {len(image_tests)} image requests"
-            )
-        results: list[np.ndarray | None] = [None] * len(Xs)
-        in_flight: list[tuple[int, tuple]] = []
-        for i, (X, img) in enumerate(zip(Xs, image_tests)):
-            in_flight.append((i, self._dispatch_predict(X, img)))
-            if len(in_flight) > max_in_flight:
-                j, handle = in_flight.pop(0)
-                results[j] = self._finalize_predict(handle)
-        for j, handle in in_flight:
-            results[j] = self._finalize_predict(handle)
-        return results  # type: ignore[return-value]
+        return pipeline_requests(
+            self._dispatch_predict, self._finalize_predict, Xs, image_tests, max_in_flight
+        )
 
     def _predict_proba_impl(self, X, image_test: np.ndarray | None) -> np.ndarray:
         """Member logits -> temperature -> reverse class permutation -> softmax/

@@ -268,20 +268,43 @@ def _bucket_test_rows(n_test: int, bucket: int = TEST_SIZE_BUCKET) -> int:
     return max(bucket, -(-n_test // bucket) * bucket)
 
 
+def _repeat_last_pad(a, pad: int, xp=np):
+    """Append `pad` copies of the last row (the bucket-padding rule — see
+    `_bucket_test_rows` for why duplicated rows are output-invariant)."""
+    if not pad:
+        return a
+    return xp.concatenate([a, xp.repeat(a[-1:], pad, axis=0)])
+
+
+class _PaddedImage:
+    """Marker wrapper: a device-resident test image already padded to the
+    test-row bucket (produced only by `_early_test_image`). An explicit type
+    rather than `isinstance(x, jax.Array)` so user-supplied device arrays are
+    never mistaken for pre-padded uploads."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+
 def _early_test_image(image_test, X) -> Any:
     """Bucket-pad the test-side image and START its host→device DMA before the
     CPU-bound member transforms run (device transfers are async, so the ~MBs
     of embeddings fly while sklearn transforms the test rows — at bench shapes
     both are tens of ms and fully overlap). Only when tabular X exists: the
-    returned jax.Array signals `_group_and_run` that the image is already
+    returned `_PaddedImage` signals `_group_and_run` that the image is already
     padded (image-only mode keeps the plain numpy path)."""
-    if image_test is None or X is None or isinstance(image_test, jax.Array):
+    if image_test is None or X is None or isinstance(image_test, _PaddedImage):
         return image_test
+    if isinstance(image_test, jax.Array):
+        # user-supplied device array: pad on device, no host round-trip
+        a = image_test.astype(jnp.float32)
+        pad = _bucket_test_rows(a.shape[0]) - a.shape[0]
+        return _PaddedImage(_repeat_last_pad(a, pad, xp=jnp))
     a = np.asarray(image_test, dtype=np.float32)
     pad = _bucket_test_rows(len(a)) - len(a)
-    if pad:
-        a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-    return jnp.asarray(a)
+    return _PaddedImage(jnp.asarray(_repeat_last_pad(a, pad)))
 
 
 def _group_and_run(
@@ -297,8 +320,9 @@ def _group_and_run(
 ) -> list[np.ndarray]:
     """Stack same-width members into batched forwards; return per-member logits.
 
-    ``image_test`` may arrive as a jax.Array already padded to the test-row
-    bucket (`_early_test_image` — upload overlapped with member transforms)."""
+    ``image_test`` may arrive as a `_PaddedImage` already padded to the
+    test-row bucket (`_early_test_image` — upload overlapped with member
+    transforms)."""
     on_accel = jax.devices()[0].platform not in ("cpu",)
     run_cfg = dataclasses.replace(
         cfg,
@@ -308,7 +332,9 @@ def _group_and_run(
     )
 
     # bucket the test-row count (compile-cache friendliness for repeated predicts)
-    img_prepadded = isinstance(image_test, jax.Array)
+    img_prepadded = isinstance(image_test, _PaddedImage)
+    if img_prepadded:
+        image_test = image_test.arr
     n_test = None
     if image_test is not None and not img_prepadded:
         n_test = len(image_test)
@@ -319,15 +345,11 @@ def _group_and_run(
     pad_rows = (_bucket_test_rows(n_test) - n_test) if bucket_test_rows else 0
     if pad_rows:
         X_tests = [
-            None
-            if Xt is None
-            else np.concatenate([Xt, np.repeat(Xt[-1:], pad_rows, axis=0)])
+            None if Xt is None else _repeat_last_pad(Xt, pad_rows)
             for Xt in X_tests
         ]
         if image_test is not None and not img_prepadded:
-            image_test = np.concatenate(
-                [image_test, np.repeat(np.asarray(image_test)[-1:], pad_rows, axis=0)]
-            )
+            image_test = _repeat_last_pad(np.asarray(image_test), pad_rows)
     if img_prepadded:
         assert image_test.shape[0] == n_test + pad_rows, (
             "pre-uploaded test image must already carry the bucket padding"
@@ -658,8 +680,7 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
             a = np.asarray(image_test, dtype=np.float32)
             n_test = len(a)
             pad_img = _bucket_test_rows(n_test) - n_test
-            if pad_img:
-                a = np.concatenate([a, np.repeat(a[-1:], pad_img, axis=0)])
+            a = _repeat_last_pad(a, pad_img)
             img_dev = jnp.asarray(a)[None]  # singleton member axis
         X_tests = [
             None if m.X_train is None else m.preprocessor.transform(X).X
@@ -670,9 +691,7 @@ class InferenceEngineCacheKV(InferenceEngineCachePreprocessing):
         pad_rows = _bucket_test_rows(n_test) - n_test
         if pad_rows:
             X_tests = [
-                None
-                if Xt is None
-                else np.concatenate([Xt, np.repeat(Xt[-1:], pad_rows, axis=0)])
+                None if Xt is None else _repeat_last_pad(Xt, pad_rows)
                 for Xt in X_tests
             ]
         fwd = _forward_cached_jit()  # module-level: predicts reuse one compile

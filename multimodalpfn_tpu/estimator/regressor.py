@@ -15,7 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 from sklearn.base import BaseEstimator, RegressorMixin
 
-from multimodalpfn_tpu.estimator.base import determine_precision, initialize_model
+from multimodalpfn_tpu.estimator.base import (
+    determine_precision,
+    initialize_model,
+    pipeline_requests,
+)
 from multimodalpfn_tpu.estimator.borders import (
     transform_borders_one,
     translate_probs_across_borders,
@@ -244,28 +248,13 @@ class MMPFNRegressor(RegressorMixin, BaseEstimator):
         overlaps device execution of request N; ``max_in_flight`` bounds the
         dispatched requests awaiting finalization; results exactly equal
         sequential predicts)."""
-        if max_in_flight < 1:
-            raise ValueError("max_in_flight must be >= 1")
-        if image_tests is None:
-            image_tests = [None] * len(Xs)
-        if len(image_tests) != len(Xs):
-            raise ValueError(
-                f"got {len(Xs)} X requests but {len(image_tests)} image requests"
-            )
-        results: list = [None] * len(Xs)
-        in_flight: list[tuple[int, tuple]] = []
-        for i, (X, img) in enumerate(zip(Xs, image_tests)):
-            in_flight.append((i, self._dispatch_predict(X, img)))
-            if len(in_flight) > max_in_flight:
-                j, handle = in_flight.pop(0)
-                results[j] = self._finalize_predict(
-                    handle, output_type=output_type, quantiles=quantiles
-                )
-        for j, handle in in_flight:
-            results[j] = self._finalize_predict(
-                handle, output_type=output_type, quantiles=quantiles
-            )
-        return results
+        return pipeline_requests(
+            self._dispatch_predict,
+            lambda h: self._finalize_predict(h, output_type=output_type, quantiles=quantiles),
+            Xs,
+            image_tests,
+            max_in_flight,
+        )
 
     def _dispatch_predict(self, X, image_test: np.ndarray | None):
         """Validation + host transforms + async engine dispatch (no device sync)."""

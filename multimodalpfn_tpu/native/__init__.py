@@ -34,9 +34,10 @@ def _build() -> bool:
     compiler = os.environ.get("CC", "cc")
     # Write to a temp file in the same dir, then atomic-rename, so concurrent
     # processes (pytest-xdist, HPO workers) never load a half-written .so.
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
-    os.close(fd)
+    tmp = None
     try:
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+        os.close(fd)
         subprocess.run(
             [compiler, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True,
@@ -46,10 +47,12 @@ def _build() -> bool:
         os.replace(tmp, _LIB_PATH)
         return True
     except (OSError, subprocess.SubprocessError):
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
+        # read-only install dir, missing compiler, ... -> pure-Python fallback
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return False
 
 
@@ -59,7 +62,7 @@ def _load():
         if _load_attempted:
             return _lib
         _load_attempted = True
-        if os.environ.get("MMPFN_TPU_NO_NATIVE"):
+        if os.environ.get("MMPFN_TPU_NO_NATIVE", "") not in ("", "0"):
             return None
         if not os.path.exists(_LIB_PATH) and not _build():
             return None

@@ -16,11 +16,33 @@ DCN (outer) axis. Multi-host entry: `initialize_distributed()`.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+def _cluster_env_detected() -> bool:
+    """True when the environment says this process is part of a MULTI-process
+    cluster job (TPU pod slice with >1 worker, multi-task SLURM job, explicit
+    coordinator env). Then a failed auto-detect init is a real error —
+    silently degrading to single-process on a pod produces wrong results or
+    hung collectives. Single-worker markers (e.g. this image's injected
+    ``TPU_WORKER_HOSTNAMES=localhost``) do NOT count: one worker IS a
+    single-process session."""
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        return True
+    try:
+        if int(os.environ.get("SLURM_NTASKS", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+        return True
+    return False
 
 
 def initialize_distributed(**kwargs: Any) -> bool:
@@ -34,20 +56,26 @@ def initialize_distributed(**kwargs: Any) -> bool:
       * already initialized        -> no-op, True;
       * explicit coordinator config (any kwargs) that fails -> RAISES — a bad
         coordinator address / timeout must surface, not fall back silently;
-      * no kwargs and no detectable cluster environment -> single-process
-        no-op, False (the benign case the old code meant to cover).
+      * no kwargs, no detectable cluster environment -> single-process no-op,
+        False (the benign case the old code meant to cover);
+      * no kwargs but cluster markers in the environment -> any init failure
+        RAISES (including jax's "must be called before any JAX calls", which
+        on a pod means init was ordered after first device use — a real bug,
+        not a benign single-process session).
     """
     if jax.distributed.is_initialized():
         return True
     if kwargs:
         jax.distributed.initialize(**kwargs)  # misconfiguration raises
         return True
+    in_cluster_env = _cluster_env_detected()
     try:
         jax.distributed.initialize()  # auto-detect (TPU pod / SLURM / env)
     except (ValueError, RuntimeError) as e:
-        # only swallow the benign cases — no cluster to detect, or the XLA
-        # backend is already live in a single-process session; anything
-        # else (a half-configured environment) still raises
+        if in_cluster_env:
+            raise  # part of a cluster job: degrading silently is never right
+        # single-process session: swallow only the benign "nothing to detect /
+        # backend already live" cases; anything else still raises
         msg = str(e).lower()
         benign = (
             "auto" in msg

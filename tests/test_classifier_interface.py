@@ -106,3 +106,21 @@ def test_too_many_classes_raises():
     clf = TabPFNClassifier(model_path="random:0", n_estimators=2)
     with pytest.raises(ValueError, match="classes"):
         clf.fit(X, y)
+
+
+def test_jax_array_image_input_matches_numpy():
+    """A user-supplied device-resident (jax.Array) test embedding must behave
+    exactly like the numpy one — regression pin for the round-5 bug where the
+    'prepadded upload' sentinel was `isinstance(x, jax.Array)` and misfired on
+    user device arrays (now an explicit `_PaddedImage` wrapper)."""
+    import jax.numpy as jnp
+
+    X, emb, y = toy_multimodal_classification(n=80, n_classes=3, emb_dim=768, seed=4)
+    clf = MMPFNClassifier(
+        model_path="random:0", mixer_type="MGM+CAP", mgm_heads=2, cap_heads=2,
+        features_per_group=1, n_estimators=2, random_state=0,
+    )
+    clf.fit(X[:60], emb[:60], y[:60])
+    p_np = clf.predict_proba(X[60:], emb[60:])
+    p_jax = clf.predict_proba(X[60:], jnp.asarray(emb[60:]))
+    np.testing.assert_allclose(p_jax, p_np, atol=1e-6)

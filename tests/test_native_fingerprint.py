@@ -83,3 +83,24 @@ def test_fingerprint_step_native_equals_python(monkeypatch, is_test):
     # De-collision really happened: all train fingerprints unique.
     if not is_test:
         assert len(np.unique(native_out[:, -1])) == X.shape[0]
+
+
+def test_build_failure_falls_back_to_python(monkeypatch):
+    """An unwritable install dir (read-only site-packages) must degrade to the
+    pure-Python hash path, never crash — regression pin for mkstemp escaping
+    _build()'s try block."""
+    import tempfile
+
+    def boom(*a, **k):
+        raise PermissionError("read-only install dir")
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_attempted", False)
+    monkeypatch.setattr(tempfile, "mkstemp", boom)
+    # force the build path even if a .so already exists on disk
+    monkeypatch.setattr(native.os.path, "exists", lambda p: False)
+    assert native._load() is None  # silent fallback, no raise
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(4, 3))
+    out = native.hash_rows(X)
+    assert out is None  # caller (steps.py) then uses the hashlib loop
